@@ -1,0 +1,122 @@
+"""Sub-pixel sampling of descriptor channels at warped image points.
+
+TPU-native counterpart of the reference's ``bpvo/photo_error.cc`` interpolation
+engine (the active scalar implementation at photo_error.cc:336-459 supporting
+Linear / Cosine / Cubic / CubicHermite, coefficient formulas at :267-334) and of
+``bpvo/interp_util.h``'s ``BilinearInterp``.
+
+The irregular access ``I1(warp(x_i))`` is the one genuinely scattered read in the
+whole pipeline.  Here it is expressed as flat ``jnp.take`` gathers over the
+row-major image (4 gathers for linear/cosine, 16 for the cubic family), which XLA
+lowers to TPU gather ops; a Pallas fused variant lives in
+``bpvo_tpu/ops/pallas/irls_kernel.py``.
+
+Out-of-bounds points are clamped before the gather and zeroed by the valid mask,
+reproducing the reference's ``valid`` semantics (photo_error.cc:344-363) — except
+that our cubic border bound is actually correct where the reference reads one row
+out of bounds (its ``yi < rows-1`` check with a ``yi+2`` access).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from bpvo_tpu.types import InterpolationType
+
+
+def border_bounds(method: InterpolationType):
+    """(lo, hi_x, hi_y): valid iff lo <= xi < W-hi_x and lo <= yi < H-hi_y
+    (reference photo_error.cc:348-349 — with the cubic y-bound fixed)."""
+    if method in (InterpolationType.LINEAR, InterpolationType.COSINE):
+        return 0, 1, 1
+    return 1, 3, 3
+
+
+def valid_mask(u, v, rows: int, cols: int, method: InterpolationType):
+    xi = jnp.floor(u)
+    yi = jnp.floor(v)
+    lo, hi_x, hi_y = border_bounds(method)
+    return ((xi >= lo) & (xi < cols - hi_x) & (yi >= lo) & (yi < rows - hi_y))
+
+
+def _coeffs_linear(f):
+    return jnp.stack([1.0 - f, f])
+
+
+def _coeffs_cosine(f):
+    """(photo_error.cc:282-290)"""
+    m = (1.0 - jnp.cos(f * jnp.pi)) * 0.5
+    return jnp.stack([1.0 - m, m])
+
+
+def _coeffs_cubic(f):
+    """Catmull-Rom-style cubic with A=-0.5 (photo_error.cc:267-280)."""
+    A = -0.5
+    c0 = ((A * (f + 1) - 5 * A) * (f + 1) + 8 * A) * (f + 1) - 4 * A
+    c1 = ((A + 2) * f - (A + 3)) * f * f + 1
+    c2 = ((A + 2) * (1 - f) - (A + 3)) * (1 - f) * (1 - f) + 1
+    c3 = 1.0 - c0 - c1 - c2
+    return jnp.stack([c0, c1, c2, c3])
+
+
+def _hermite_1d(y0, y1, y2, y3, mu):
+    """Cubic Hermite through 4 samples, bias=0 tension=0 (photo_error.cc:292-334)."""
+    mu2 = mu * mu
+    mu3 = mu2 * mu
+    m0 = 0.5 * (y1 - y0) + 0.5 * (y2 - y1)
+    m1 = 0.5 * (y2 - y1) + 0.5 * (y3 - y2)
+    a0 = 2 * mu3 - 3 * mu2 + 1.0
+    a1 = mu3 - 2 * mu2 + mu
+    a2 = mu3 - mu2
+    a3 = -2 * mu3 + 3 * mu2
+    return a0 * y1 + a1 * m0 + a2 * m1 + a3 * y2
+
+
+def _gather(channels_flat, idx):
+    """channels_flat (C, H*W), idx (N,) -> (C, N)."""
+    return jnp.take(channels_flat, idx, axis=1)
+
+
+def sample(channels, u, v, valid, method: InterpolationType = InterpolationType.LINEAR):
+    """Sample ``channels`` (C, H, W) at sub-pixel points (u, v) each (N,).
+
+    Returns (C, N) float32; entries where ``valid`` is False are 0.
+    """
+    C, H, W = channels.shape
+    flat = channels.reshape(C, H * W)
+
+    xi = jnp.floor(u).astype(jnp.int32)
+    yi = jnp.floor(v).astype(jnp.int32)
+    xf = (u - xi).astype(channels.dtype)
+    yf = (v - yi).astype(channels.dtype)
+
+    lo, hi_x, hi_y = border_bounds(method)
+    xi = jnp.clip(xi, lo, W - 1 - hi_x)
+    yi = jnp.clip(yi, lo, H - 1 - hi_y)
+
+    def at(dy, dx):
+        return _gather(flat, (yi + dy) * W + (xi + dx))
+
+    if method in (InterpolationType.LINEAR, InterpolationType.COSINE):
+        cx = _coeffs_linear(xf) if method == InterpolationType.LINEAR else _coeffs_cosine(xf)
+        cy = _coeffs_linear(yf) if method == InterpolationType.LINEAR else _coeffs_cosine(yf)
+        row0 = cx[0] * at(0, 0) + cx[1] * at(0, 1)
+        row1 = cx[0] * at(1, 0) + cx[1] * at(1, 1)
+        out = cy[0] * row0 + cy[1] * row1
+    elif method == InterpolationType.CUBIC:
+        cx = _coeffs_cubic(xf)
+        cy = _coeffs_cubic(yf)
+        rows = []
+        for j, dy in enumerate((-1, 0, 1, 2)):
+            r = sum(cx[i] * at(dy, dx) for i, dx in enumerate((-1, 0, 1, 2)))
+            rows.append(cy[j] * r)
+        out = rows[0] + rows[1] + rows[2] + rows[3]
+    elif method == InterpolationType.CUBIC_HERMITE:
+        vals = []
+        for dy in (-1, 0, 1, 2):
+            s = [at(dy, dx) for dx in (-1, 0, 1, 2)]
+            vals.append(_hermite_1d(s[0], s[1], s[2], s[3], xf))
+        out = _hermite_1d(vals[0], vals[1], vals[2], vals[3], yf)
+    else:
+        raise ValueError(f"unknown interpolation {method}")
+
+    return jnp.where(valid[None, :], out, 0.0)

@@ -1,0 +1,202 @@
+"""IRLS Gauss-Newton pose refinement on one pyramid level, as a jitted
+``lax.while_loop``.
+
+Counterpart of the reference's CRTP optimizer framework
+(``bpvo/pose_estimator_base.h``: main loop at :324-407, the three convergence
+tests at :258-282; ``bpvo/pose_estimator_gn.h``: linearize =
+residuals -> scale -> weights -> J^T W J at :70-81) and of its per-level
+parameter relaxation (``bpvo/pose_estimator_params.cc:36-47``).
+
+Flow per iteration (inverse compositional — template Jacobians fixed):
+  r, valid = photometric residuals at T
+  sigma    = robust scale (skipped once stable, mestimator.cc:467-490)
+  w        = M-estimator weights
+  H, g, f  = J^T W J, J^T W r, sqrt(sum w r^2)
+  dp       = solve(H, g)    (Levenberg-augmented fallback)
+  T       <- T * Tn^{-1} exp(-dp) Tn     (pose_estimator_base.h:371-390)
+
+The LM trust-region variant is in ``bpvo_tpu/solver/levenberg_marquardt.py``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bpvo_tpu.config import AlgorithmParameters
+from bpvo_tpu.solver import linear_system, mestimator
+from bpvo_tpu.types import (InterpolationType, LossFunctionType,
+                            PoseEstimationStatus)
+from bpvo_tpu.vo import template_data as td_mod
+from bpvo_tpu.vo import warp as warp_mod
+
+_SQRT_EPS = 3.452669831e-4  # sqrt(float32 machine eps), pose_estimator_base.h:262
+
+# integer status codes used inside jit (mapped back to PoseEstimationStatus)
+STATUS_MAX_ITERATIONS = 0
+STATUS_PARAMETER_TOL = 1
+STATUS_FUNCTION_TOL = 2
+STATUS_GRADIENT_TOL = 3
+STATUS_SOLVER_ERROR = 4
+
+STATUS_ENUMS = {
+    STATUS_MAX_ITERATIONS: PoseEstimationStatus.MAX_ITERATIONS,
+    STATUS_PARAMETER_TOL: PoseEstimationStatus.PARAMETER_TOL_REACHED,
+    STATUS_FUNCTION_TOL: PoseEstimationStatus.FUNCTION_TOL_REACHED,
+    STATUS_GRADIENT_TOL: PoseEstimationStatus.GRADIENT_TOL_REACHED,
+    STATUS_SOLVER_ERROR: PoseEstimationStatus.SOLVER_ERROR,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class GNOptions:
+    """Static (hashable) per-level optimizer configuration."""
+    max_iterations: int = 50
+    function_tolerance: float = 1e-6
+    parameter_tolerance: float = 1e-7
+    gradient_tolerance: float = 1e-8
+    loss: LossFunctionType = LossFunctionType.TUKEY
+    interp: InterpolationType = InterpolationType.LINEAR
+    scale_tolerance: float = 1e-6   # AutoScaleEstimator tol (mestimator.h:63)
+    use_histogram_median: bool = True
+
+    @classmethod
+    def from_params(cls, p: AlgorithmParameters, coarse: bool) -> "GNOptions":
+        """Coarse levels get relaxed tolerances and the smoother Huber loss
+        (reference pose_estimator_params.cc:36-47)."""
+        if not coarse or not p.relaxTolerancesForCoarseLevels:
+            return cls(max_iterations=p.maxIterations,
+                       function_tolerance=p.functionTolerance,
+                       parameter_tolerance=p.parameterTolerance,
+                       gradient_tolerance=p.gradientTolerance,
+                       loss=p.lossFunction, interp=p.interp)
+        s = p.coarseToleranceScale
+        loss = (p.lossFunction if p.lossFunction == LossFunctionType.L2
+                else LossFunctionType.HUBER)
+        return cls(max_iterations=min(p.maxIterations, p.coarseMaxIterations),
+                   function_tolerance=p.functionTolerance * s,
+                   parameter_tolerance=p.parameterTolerance * s,
+                   gradient_tolerance=p.gradientTolerance * s,
+                   loss=loss, interp=p.interp)
+
+
+class GNState(NamedTuple):
+    T: jnp.ndarray            # (4, 4) current pose
+    dp: jnp.ndarray           # (6,) last update
+    f_norm: jnp.ndarray       # weighted residual norm at last linearize
+    f_norm_prev: jnp.ndarray
+    dp_norm_prev: jnp.ndarray
+    g: jnp.ndarray            # (6,) gradient at last linearize
+    g_tol: jnp.ndarray
+    scale: jnp.ndarray        # robust sigma
+    delta_scale: jnp.ndarray
+    weights: jnp.ndarray      # (C, K) last IRLS weights
+    H: jnp.ndarray            # (6, 6) last Hessian
+    num_iters: jnp.ndarray    # int32
+    status: jnp.ndarray       # int32
+    converged: jnp.ndarray    # bool
+    solver_ok: jnp.ndarray    # bool
+
+
+def _linearize(tdata, channels, cam, T, scale, delta_scale, opts: GNOptions):
+    r, valid = td_mod.compute_residuals(tdata, channels, cam, T, opts.interp)
+    # scale re-estimation is skipped once stable (mestimator.cc:467-490).
+    # Like the reference's getValidResiduals (linear_system_builder.cc:302-315)
+    # we estimate sigma from the first channel only — other channels look alike.
+    new_sigma = mestimator.estimate_scale(r[0], valid, opts.use_histogram_median)
+    do_est = delta_scale > opts.scale_tolerance
+    sigma = jnp.where(do_est, new_sigma, scale)
+    new_delta = jnp.where(do_est, jnp.abs(new_sigma - scale), delta_scale)
+    w = mestimator.compute_weights(opts.loss, r, valid[None, :], sigma)
+    H, g, f_sq = linear_system.build(tdata.jacobians, r, w)
+    return H, g, jnp.sqrt(f_sq), sigma, new_delta, w
+
+
+def _test_convergence(dp_norm, dp_norm_prev, g_norm, f_norm, f_norm_prev,
+                      g_tol, opts: GNOptions):
+    """The three convergence tests (pose_estimator_base.h:258-282)."""
+    p_tol = (dp_norm < opts.parameter_tolerance) | (
+        dp_norm < opts.parameter_tolerance * (_SQRT_EPS + dp_norm_prev))
+    f_tol = ((f_norm < opts.function_tolerance)
+             | (f_norm < opts.function_tolerance * (_SQRT_EPS + f_norm_prev))
+             | (jnp.abs(f_norm - f_norm_prev) < opts.function_tolerance))
+    g_ok = g_norm < g_tol
+    status = jnp.where(
+        p_tol, STATUS_PARAMETER_TOL,
+        jnp.where(f_tol, STATUS_FUNCTION_TOL,
+                  jnp.where(g_ok, STATUS_GRADIENT_TOL, STATUS_MAX_ITERATIONS)))
+    return p_tol | f_tol | g_ok, status.astype(jnp.int32)
+
+
+def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
+        opts: GNOptions) -> GNState:
+    """Run GN to convergence from T_init; returns the full final state.
+
+    Pure function of its inputs — jit with static ``opts``.
+    """
+    f32 = jnp.float32
+    T0 = jnp.asarray(T_init, f32)
+    s, c = tdata.norm_scale, tdata.norm_center
+
+    H, g, f_norm, sigma, dscale, w = _linearize(
+        tdata, channels, cam, T0, jnp.asarray(1.0, f32),
+        jnp.asarray(1e10, f32), opts)
+    g_norm = jnp.max(jnp.abs(g))
+    g_tol = opts.gradient_tolerance * jnp.maximum(g_norm, _SQRT_EPS)
+
+    # initial point already optimal? (pose_estimator_base.h:346-360)
+    initial_opt = g_norm < g_tol
+
+    dp, ok = linear_system.solve(H, g)
+    dp = jnp.where(initial_opt, jnp.zeros_like(dp), dp)
+    T = jnp.where(initial_opt, T0, T0 @ warp_mod.params_to_pose(-dp, s, c))
+
+    init = GNState(
+        T=T, dp=dp, f_norm=f_norm, f_norm_prev=jnp.asarray(0.0, f32),
+        dp_norm_prev=jnp.asarray(0.0, f32), g=g, g_tol=g_tol,
+        scale=sigma, delta_scale=dscale, weights=w, H=H,
+        num_iters=jnp.asarray(1, jnp.int32),
+        status=jnp.where(initial_opt, STATUS_GRADIENT_TOL,
+                         STATUS_MAX_ITERATIONS).astype(jnp.int32),
+        converged=initial_opt, solver_ok=ok)
+
+    def cond(st: GNState):
+        return (~st.converged) & st.solver_ok & (
+            st.num_iters < opts.max_iterations)
+
+    def body(st: GNState):
+        dp_norm = jnp.linalg.norm(st.dp)
+        g_norm_ = jnp.max(jnp.abs(st.g))
+        conv, status = _test_convergence(
+            dp_norm, st.dp_norm_prev, g_norm_, st.f_norm, st.f_norm_prev,
+            st.g_tol, opts)
+
+        def converged_fn(st: GNState):
+            return st._replace(converged=jnp.asarray(True), status=status)
+
+        def iterate_fn(st: GNState):
+            H, g, f_new, sigma, dscale, w = _linearize(
+                tdata, channels, cam, st.T, st.scale, st.delta_scale, opts)
+            dp, ok = linear_system.solve(H, g)
+            T = st.T @ warp_mod.params_to_pose(-dp, s, c)
+            return st._replace(
+                T=T, dp=dp, f_norm=f_new, f_norm_prev=st.f_norm,
+                dp_norm_prev=dp_norm, g=g, scale=sigma, delta_scale=dscale,
+                weights=w, H=H, num_iters=st.num_iters + 1,
+                solver_ok=ok,
+                status=jnp.where(ok, st.status,
+                                 STATUS_SOLVER_ERROR).astype(jnp.int32))
+
+        return jax.lax.cond(conv, converged_fn, iterate_fn, st)
+
+    return jax.lax.while_loop(cond, body, init)
+
+
+def fraction_of_good_points(weights, num_channels, num_valid, threshold):
+    """count(w > thresh) / (C * N) (reference vo_pose_estimator.cc:101-107);
+    N is the true (unpadded) template point count."""
+    n_good = jnp.sum(weights > threshold)
+    denom = jnp.maximum(num_channels * num_valid, 1)
+    return n_good.astype(jnp.float32) / denom.astype(jnp.float32)

@@ -1,0 +1,54 @@
+"""Weighted Gauss-Newton normal equations: H = J^T W J, g = J^T W r.
+
+Counterpart of the reference's ``bpvo/linear_system_builder.{h,cc}`` +
+``linear_system_builder_reduction.h``: the TBB ``parallel_reduce`` with SSE
+rank-updates of a packed upper-triangular H (linear_system_builder.cc:91-237,
+the DVO-SLAM-derived layout at :140-205) becomes a single einsum/matmul pair
+that XLA maps onto the MXU, plus a ``psum`` across devices in the sharded path
+(bpvo_tpu/parallel) — mathematically identical to the TBB join at
+linear_system_builder.cc:96-101.
+
+Returns the weighted residual norm f = sqrt(sum v w r^2) exactly like
+``LinearSystemBuilder::Run`` (linear_system_builder.cc:334-350).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def build(J, r, w):
+    """Accumulate the 6x6 system.
+
+    J: (..., N, 6) Jacobians, r: (..., N) residuals, w: (..., N) weights
+    (already zero for invalid entries). Leading axes (channels) are reduced.
+
+    Returns (H (6,6), g (6,), f_sq scalar = sum w r^2).
+    """
+    Jf = J.reshape(-1, 6)
+    rf = r.reshape(-1)
+    wf = w.reshape(-1)
+    Jw = Jf * wf[:, None]
+    # (6, M) @ (M, 6) on the MXU
+    H = jnp.dot(Jw.T, Jf, preferred_element_type=jnp.float32)
+    g = jnp.dot(Jw.T, rf, preferred_element_type=jnp.float32)
+    f_sq = jnp.sum(wf * rf * rf)
+    return H, g, f_sq
+
+
+def solve(H, g, eps: float = 1e-3):
+    """Solve H dp = g with a Levenberg-augmented fallback.
+
+    The reference solves float LDLT, then retries in double with
+    ``diag += 0.001 * max(diag)`` when the residual check fails
+    (pose_estimator_base.h:90-148).  We compute both candidates branch-free and
+    select: XLA has no cheap dynamic branch, and the 6x6 solves are trivial.
+    Hartley normalization (withNormalization) keeps H well-conditioned in f32 —
+    that is its whole purpose (template_data.cc:91-92).
+    """
+    dp = jnp.linalg.solve(H, g)
+    ok = jnp.all(jnp.isfinite(dp)) & (
+        jnp.max(jnp.abs(H @ dp - g)) <= 1e-4 * (1.0 + jnp.max(jnp.abs(g))))
+    H_aug = H + eps * jnp.max(jnp.diag(H)) * jnp.eye(6, dtype=H.dtype)
+    dp_aug = jnp.linalg.solve(H_aug, g)
+    dp_aug = jnp.where(jnp.all(jnp.isfinite(dp_aug)), dp_aug, jnp.zeros_like(dp_aug))
+    return jnp.where(ok, dp, dp_aug), ok | jnp.all(jnp.isfinite(dp_aug))

@@ -1,0 +1,240 @@
+"""VisualOdometry: the public frame-to-frame API.
+
+Counterpart of the reference's pImpl facade ``bpvo/vo.{h,cc}``
+(``addFrame`` flow at vo.cc:125-197, ``shouldKeyFrame`` at :199-224, point-cloud
+extraction at :260-281, auto pyramid levels at :101-105) and of
+``bpvo/vo_frame.{h,cc}`` (per-level descriptor pyramid + templates,
+per-level K/baseline scaling at vo_frame.cc:13-29).
+
+Keyframe bookkeeping is inherently sequential/stateful, so it lives in host
+Python; all dense compute (descriptors, templates, GN) dispatches to per-level
+jitted functions.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bpvo_tpu.config import AlgorithmParameters
+from bpvo_tpu.core import se3
+from bpvo_tpu.ops import descriptors, imgproc, selection
+from bpvo_tpu.types import KeyFramingReason, Result
+from bpvo_tpu.vo import template_data as td_mod
+from bpvo_tpu.vo import warp as warp_mod
+from bpvo_tpu.vo.point_cloud import PointCloud
+from bpvo_tpu.vo.pose_estimator import PoseEstimator
+from bpvo_tpu.vo.trajectory import Trajectory
+
+
+@partial(jax.jit, static_argnames=("p",))
+def _compute_channels(image, p: AlgorithmParameters):
+    return descriptors.compute(image, p)
+
+
+@partial(jax.jit, static_argnames=())
+def _pyr_down(image):
+    return imgproc.pyr_down(image)
+
+
+@partial(jax.jit, static_argnames=("p", "capacity", "level"))
+def _set_template(channels, disparity_level, cam, p, capacity, level):
+    return td_mod.set_data(channels, disparity_level, cam, p, capacity, level)
+
+
+class _Frame:
+    """One frame's pyramid of descriptor channels (+ templates when keyframe).
+
+    Counterpart of VisualOdometryFrame (vo_frame.{h,cc})."""
+
+    def __init__(self):
+        self.channels: List[jnp.ndarray] = []
+        self.disparity: Optional[jnp.ndarray] = None
+        self.image: Optional[np.ndarray] = None
+        self.templates: Optional[List] = None
+
+    def set_data(self, image: np.ndarray, disparity: np.ndarray,
+                 n_levels: int, p: AlgorithmParameters):
+        self.image = image
+        self.disparity = jnp.asarray(disparity, jnp.float32)
+        self.templates = None
+        img = jnp.asarray(image, jnp.float32)
+        self.channels = []
+        for level in range(n_levels):
+            self.channels.append(_compute_channels(img, p))
+            if level + 1 < n_levels:
+                img = _pyr_down(img)
+
+    @property
+    def has_template(self) -> bool:
+        return self.templates is not None
+
+    def set_template(self, cams, p: AlgorithmParameters, capacities):
+        self.templates = []
+        for level, ch in enumerate(self.channels):
+            d_level = imgproc.disparity_at_level(self.disparity, level)
+            d_level = d_level[:ch.shape[1], :ch.shape[2]]
+            self.templates.append(_set_template(
+                ch, d_level, cams[level], p, capacities[level], level))
+
+    def clear(self):
+        self.channels = []
+        self.templates = None
+        self.disparity = None
+
+    @property
+    def empty(self) -> bool:
+        return not self.channels
+
+
+class VisualOdometry:
+    """``VisualOdometry(K, baseline, image_size, params)`` then
+    ``add_frame(image, disparity) -> Result`` (reference vo.h:31-105)."""
+
+    def __init__(self, K, baseline: float, image_size, params: Optional[AlgorithmParameters] = None):
+        p = params or AlgorithmParameters()
+        rows, cols = image_size
+        if p.numPyramidLevels <= 0:
+            p = p.replace(numPyramidLevels=p.num_pyramid_levels_for(rows, cols))
+        self._p = p
+        self._rows, self._cols = rows, cols
+        base_cam = warp_mod.CameraModel.from_K(K, baseline)
+        self._cams = [base_cam.at_level(l) for l in range(p.numPyramidLevels)]
+        shapes = [(rows, cols)]
+        for _ in range(1, p.numPyramidLevels):
+            r, c = shapes[-1]
+            shapes.append(((r + 1) // 2, (c + 1) // 2))
+        self._capacities = [
+            selection.capacity_for_level(p, r, c, l)
+            for l, (r, c) in enumerate(shapes)]
+
+        self._pose_estimator = PoseEstimator(p)
+        self._trajectory = Trajectory()
+        self._T_kf = np.eye(4, dtype=np.float32)
+
+        self._ref = _Frame()
+        self._cur = _Frame()
+        self._prev = _Frame()
+
+    # ------------------------------------------------------------------
+    @property
+    def params(self) -> AlgorithmParameters:
+        return self._p
+
+    @property
+    def trajectory(self) -> Trajectory:
+        return self._trajectory
+
+    def num_points_at_level(self, level: int = -1) -> int:
+        if level < 0:
+            level = self._p.maxTestLevel
+        if not self._ref.has_template:
+            return 0
+        return int(self._ref.templates[level].num_valid)
+
+    # ------------------------------------------------------------------
+    def add_frame(self, image: np.ndarray, disparity: np.ndarray) -> Result:
+        """Estimate the motion of ``image`` wrt the current keyframe
+        (reference vo.cc:125-197)."""
+        p = self._p
+        assert image.shape == (self._rows, self._cols), \
+            f"image size {image.shape} != {(self._rows, self._cols)}"
+
+        self._cur.set_data(image, disparity, p.numPyramidLevels, p)
+
+        if not self._ref.has_template:
+            # first frame (vo.cc:133-139)
+            self._ref, self._cur = self._cur, self._ref
+            self._ref.set_template(self._cams, p, self._capacities)
+            self._trajectory.push(self._T_kf)
+            return Result(pose=np.eye(4), covariance=np.eye(6),
+                          is_keyframe=True,
+                          keyframing_reason=KeyFramingReason.FIRST_FRAME,
+                          optimizer_statistics=[])
+
+        T_est, stats = self._pose_estimator.estimate(
+            self._ref.templates, self._cur.channels, self._cams, self._T_kf)
+
+        reason = self._should_keyframe(T_est)
+        is_kf = reason != KeyFramingReason.NO_KEYFRAMING
+
+        point_cloud = None
+        if not is_kf:
+            # keep cur as a future keyframe candidate (vo.cc:148-153)
+            self._prev, self._cur = self._cur, self._prev
+            pose = T_est @ np.linalg.inv(self._T_kf)
+            self._T_kf = T_est
+        else:
+            point_cloud = self._extract_point_cloud()
+            if self._prev.empty:
+                # no intermediate frame: current frame becomes keyframe (vo.cc:166-177)
+                self._ref, self._cur = self._cur, self._ref
+                self._ref.set_template(self._cams, p, self._capacities)
+                pose = T_est @ np.linalg.inv(self._T_kf)
+                self._T_kf = np.eye(4, dtype=np.float32)
+            else:
+                # previous frame becomes the keyframe and we re-estimate:
+                # the estimate that triggered keyframing is suspect (vo.cc:178-188)
+                self._prev, self._ref = self._ref, self._prev
+                self._prev.clear()
+                self._ref.set_template(self._cams, p, self._capacities)
+                T_est, stats = self._pose_estimator.estimate(
+                    self._ref.templates, self._cur.channels, self._cams,
+                    np.eye(4, dtype=np.float32))
+                pose = T_est
+                self._T_kf = T_est
+
+        self._trajectory.push(pose)
+        if point_cloud is not None:
+            point_cloud.pose = self._trajectory.back()
+
+        return Result(pose=np.asarray(pose),
+                      covariance=self._pose_estimator.last_covariance(),
+                      is_keyframe=is_kf, keyframing_reason=reason,
+                      optimizer_statistics=stats, point_cloud=point_cloud)
+
+    # ------------------------------------------------------------------
+    def _should_keyframe(self, T_est: np.ndarray) -> KeyFramingReason:
+        """(reference vo.cc:199-224)"""
+        p = self._p
+        t_sq = float(np.sum(T_est[:3, 3] ** 2))
+        if t_sq > p.minTranslationMagToKeyFrame ** 2:
+            return KeyFramingReason.LARGE_TRANSLATION
+
+        euler = np.asarray(se3.rotation_to_euler_deg(jnp.asarray(T_est)))
+        if float(np.sum(euler ** 2)) > p.minRotationMagToKeyFrame ** 2:
+            return KeyFramingReason.LARGE_ROTATION
+
+        frac = self._pose_estimator.fraction_of_good_points(p.goodPointThreshold)
+        if frac < p.maxFractionOfGoodPointsToKeyFrame:
+            return KeyFramingReason.SMALL_FRAC_OF_GOOD_POINTS
+
+        return KeyFramingReason.NO_KEYFRAMING
+
+    def _extract_point_cloud(self) -> Optional[PointCloud]:
+        """(reference vo.cc:260-281): ref-frame template points at maxTestLevel,
+        colored from the ref image, weighted by the last IRLS weights."""
+        p = self._p
+        if not self._ref.has_template:
+            return None
+        td = self._ref.templates[p.maxTestLevel]
+        w = self._pose_estimator.last_weights()
+        valid = np.asarray(td.valid)
+        pts = np.asarray(td.points)[valid]
+        if w is not None and w.shape[1] == td.capacity:
+            weights = np.asarray(w[0])[valid]
+        else:
+            weights = np.ones(len(pts), np.float32)
+        scale = 1 << p.maxTestLevel
+        ys = np.clip(np.asarray(td.rows)[valid] * scale, 0, self._rows - 1)
+        xs = np.clip(np.asarray(td.cols)[valid] * scale, 0, self._cols - 1)
+        img = self._ref.image
+        c = (img[ys, xs] if img is not None
+             else np.zeros(len(pts), np.float32)).astype(np.uint8)
+        colors = np.stack([c, c, c, np.full_like(c, 255)], axis=1)
+        return PointCloud(points=pts.astype(np.float32), colors=colors,
+                          weights=weights.astype(np.float32))

@@ -1,0 +1,125 @@
+import os
+
+import numpy as np
+import pytest
+
+from bpvo_tpu.config import ConfigFile
+from bpvo_tpu.data.dataset import (DatasetFrame, FileSequence,
+                                   StereoCalibration, create_dataset)
+from bpvo_tpu.data.loader import DatasetLoaderThread
+from bpvo_tpu.data.stereo import (CvBlockMatching, TpuBlockMatching, TpuSGM,
+                                  create_stereo_algorithm)
+from bpvo_tpu.data.synthetic import SyntheticPlaneDataset
+
+
+def make_stereo_pair(rows=96, cols=160, disp=6.0, seed=0):
+    """Right image = left shifted right-to-left by ``disp`` pixels."""
+    r = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:rows, 0:cols].astype(np.float32)
+    tex = lambda x, y: (
+        128 + 50 * np.sin(x / 5.0) * np.cos(y / 7.0)
+        + 40 * np.sin((2 * x + y) / 11.0) + 20 * np.sin(x / 2.3))
+    L = tex(xx, yy)
+    R = tex(xx + disp, yy)  # right camera sees the scene shifted left
+    noise = r.standard_normal((rows, cols)).astype(np.float32)
+    return (np.clip(L + noise, 0, 255).astype(np.uint8),
+            np.clip(R + noise, 0, 255).astype(np.uint8))
+
+
+class TestStereo:
+    def test_tpu_block_matching_recovers_disparity(self):
+        L, R = make_stereo_pair(disp=6.0)
+        bm = TpuBlockMatching(num_disparities=32, sad_window=9)
+        D = bm.run(L, R)
+        valid = D[20:-20, 40:-20]
+        valid = valid[valid > 0]
+        assert len(valid) > 500
+        assert abs(np.median(valid) - 6.0) < 0.5
+
+    def test_tpu_sgm_recovers_disparity(self):
+        L, R = make_stereo_pair(disp=6.0)
+        sgm = TpuSGM(num_disparities=32)
+        D = sgm.run(L, R)
+        valid = D[20:-20, 40:-20]
+        valid = valid[valid > 0]
+        assert len(valid) > 500
+        assert abs(np.median(valid) - 6.0) < 0.5
+
+    def test_cv_block_matching(self):
+        L, R = make_stereo_pair(disp=6.0)
+        cf = ConfigFile()
+        cf.set("numberOfDisparities", 32).set("SADWindowSize", 9)
+        bm = CvBlockMatching(cf)
+        D = bm.run(L, R)
+        valid = D[20:-20, 40:-20]
+        valid = valid[valid > 0]
+        assert len(valid) > 100
+        assert abs(np.median(valid) - 6.0) < 1.0
+
+    def test_factory(self):
+        cf = ConfigFile()
+        cf.set("StereoAlgorithm", "TpuBlockMatching")
+        cf.set("numberOfDisparities", 32)
+        assert isinstance(create_stereo_algorithm(cf), TpuBlockMatching)
+        cf.set("StereoAlgorithm", "sgm")
+        assert isinstance(create_stereo_algorithm(cf), TpuSGM)
+
+
+class TestSynthetic:
+    def test_frames_and_gt(self):
+        ds = SyntheticPlaneDataset(rows=60, cols=80, n_frames=5)
+        frames = list(ds)
+        assert len(frames) == 5
+        assert frames[0].image.shape == (60, 80)
+        assert frames[0].disparity.shape == (60, 80)
+        assert np.all(frames[0].disparity > 0)
+        # frame 0 pose is identity
+        np.testing.assert_allclose(ds.pose_at(0), np.eye(4))
+
+    def test_factory_from_config(self):
+        cf = ConfigFile()
+        cf.set("Dataset", "synthetic")
+        cf.set("SyntheticRows", 48).set("SyntheticCols", 64)
+        ds = create_dataset(cf)
+        assert ds.image_size == (48, 64)
+
+
+class TestLoader:
+    def test_prefetch_all_frames(self):
+        ds = SyntheticPlaneDataset(rows=48, cols=64, n_frames=7)
+        with DatasetLoaderThread(ds, buffer_size=3) as loader:
+            frames = list(loader)
+        assert len(frames) == 7
+        assert all(isinstance(f, DatasetFrame) for f in frames)
+
+    def test_max_frames(self):
+        ds = SyntheticPlaneDataset(rows=48, cols=64, n_frames=100)
+        with DatasetLoaderThread(ds, buffer_size=2, max_frames=4) as loader:
+            frames = list(loader)
+        assert len(frames) == 4
+
+    def test_frames_in_order(self):
+        ds = SyntheticPlaneDataset(rows=48, cols=64, n_frames=6)
+        with DatasetLoaderThread(ds, buffer_size=2) as loader:
+            names = [f.filename for f in loader]
+        assert names == [f"synthetic/{i:06d}" for i in range(6)]
+
+
+class TestKittiCalib:
+    def test_parse(self, tmp_path):
+        calib = tmp_path / "calib.txt"
+        calib.write_text(
+            "P0: 718.856 0 607.1928 0 0 718.856 185.2157 0 0 0 1 0\n"
+            "P1: 718.856 0 607.1928 -386.1448 0 718.856 185.2157 0 0 0 1 0\n")
+        from bpvo_tpu.data.kitti import load_kitti_calibration
+        c = load_kitti_calibration(str(calib))
+        assert abs(c.K[0, 0] - 718.856) < 1e-3
+        assert abs(c.baseline - 386.1448 / 718.856) < 1e-5
+
+
+class TestFileSequence:
+    def test_format(self, tmp_path):
+        seq = FileSequence(str(tmp_path), "img_%04d.png", first_frame=3)
+        assert seq[0].endswith("img_0003.png")
+        assert seq[2].endswith("img_0005.png")
+        assert not seq.exists(0)
