@@ -69,26 +69,31 @@ def synthesize_sequence(n_frames, rows=ROWS, cols=COLS):
 
 
 def main():
-    from bpvo_tpu import AlgorithmParameters, VisualOdometry
+    import jax
+    from bpvo_tpu import AlgorithmParameters
+    from bpvo_tpu.vo.device_vo import DeviceVO
 
     K, baseline, frames = synthesize_sequence(N_FRAMES)
     p = AlgorithmParameters(
         minSaliency=2.0, numPyramidLevels=4,
         functionTolerance=1e-4, parameterTolerance=1e-6, maxIterations=50)
-    vo = VisualOdometry(K, baseline, (ROWS, COLS), p)
+    vo = DeviceVO(K, baseline, (ROWS, COLS), p)
 
-    # warmup: trigger all jit compilations (first frames + keyframe paths)
-    for I, D in frames[:N_WARMUP]:
-        vo.add_frame(I, D)
+    images = np.stack([f[0] for f in frames])
+    disps = np.stack([f[1] for f in frames])
 
+    # warmup: compiles init + the scanned chunk program, runs a few frames
+    vo.add_frames(images[:N_WARMUP], disps[:N_WARMUP])
+
+    chunk = images[N_WARMUP:]
     t0 = time.perf_counter()
-    n = 0
-    for I, D in frames[N_WARMUP:]:
-        vo.add_frame(I, D)
-        n += 1
+    outs = vo.add_frames(chunk, disps[N_WARMUP:])
+    # force materialization of every output
+    poses = np.asarray(outs.pose_world)
     dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(poses)), "non-finite trajectory"
 
-    hz = n / dt
+    hz = len(chunk) / dt
     print(json.dumps({
         "metric": "vo_frame_rate_synth_kitti_intensity",
         "value": round(hz, 2),

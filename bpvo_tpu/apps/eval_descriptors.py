@@ -1,0 +1,89 @@
+"""eval_descriptors: run VO with every descriptor type over a dataset, dumping
+per-descriptor trajectory / timing / iteration statistics.
+
+Counterpart of the reference's ``apps/eval_descriptors.cc`` (all 7 descriptors
+over Tsukuba, outputs at eval_descriptors.cc:126-154).
+
+Usage: python -m bpvo_tpu.apps.eval_descriptors --config conf/tsukuba.cfg \
+       --out results/ [--numframes 100]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from bpvo_tpu.config import AlgorithmParameters, ConfigFile
+from bpvo_tpu.data.dataset import create_dataset
+from bpvo_tpu.types import DescriptorType
+from bpvo_tpu.utils import debug
+from bpvo_tpu.vo.odometry import VisualOdometry
+
+DESCRIPTORS = [
+    DescriptorType.INTENSITY,
+    DescriptorType.BITPLANES,
+    DescriptorType.INTENSITY_AND_GRADIENT,
+    DescriptorType.DESCRIPTOR_FIELDS_FIRST_ORDER,
+    DescriptorType.DESCRIPTOR_FIELDS_SECOND_ORDER,
+    DescriptorType.CENTRAL_DIFFERENCE,
+    DescriptorType.LAPLACIAN,
+    DescriptorType.LATCH,
+]
+
+
+def run(conf_file: str, out_dir: str = "", num_frames: int = -1,
+        descriptors=None):
+    cf = ConfigFile(conf_file)
+    base = AlgorithmParameters.from_config(cf)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    results = {}
+    for desc in (descriptors or DESCRIPTORS):
+        params = base.replace(descriptor=desc)
+        dataset = create_dataset(cf)
+        calib = dataset.calibration
+        vo = VisualOdometry(calib.K, calib.baseline, dataset.image_size, params)
+        times, iters = [], []
+        n = 0
+        for frame in dataset:
+            if num_frames > 0 and n >= num_frames:
+                break
+            t0 = time.perf_counter()
+            res = vo.add_frame(frame.image, frame.disparity)
+            times.append((time.perf_counter() - t0) * 1000.0)
+            iters.append(sum(s.num_iterations
+                             for s in res.optimizer_statistics))
+            n += 1
+        steady = times[5:] if len(times) > 5 else times
+        results[desc.value] = {
+            "frames": n,
+            "mean_ms": float(np.mean(steady)) if steady else 0.0,
+            "mean_iters": float(np.mean(iters[5:])) if len(iters) > 5 else 0.0,
+        }
+        if out_dir:
+            prefix = os.path.join(out_dir, desc.value)
+            vo.trajectory.write_camera_path(prefix + "_path.txt")
+            np.savetxt(prefix + "_time.txt", np.asarray(times))
+            np.savetxt(prefix + "_iterations.txt", np.asarray(iters, np.int32),
+                       fmt="%d")
+        debug.info("%s: %.2f ms/frame, %.1f iters", desc.value,
+                   results[desc.value]["mean_ms"],
+                   results[desc.value]["mean_iters"])
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", "-c", required=True)
+    ap.add_argument("--out", "-o", default="")
+    ap.add_argument("--numframes", "-n", type=int, default=-1)
+    args = ap.parse_args()
+    print(json.dumps(run(args.config, args.out, args.numframes), indent=2))
+
+
+if __name__ == "__main__":
+    main()

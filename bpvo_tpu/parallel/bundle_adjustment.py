@@ -1,0 +1,272 @@
+"""Windowed photometric bundle adjustment over a keyframe window, with the
+residual/block reductions shardable across a TPU device mesh.
+
+No reference analogue: halismai/bpvo tracks frame-to-keyframe only and
+accumulates a trajectory (vo.cc:191, trajectory.cc:42-50).  This module adds
+joint refinement of the last M keyframe poses — the capability BASELINE.json
+names as the distributed extension — using the same semi-dense machinery:
+
+  - each keyframe i carries its finest-level template (points X_i, pixel values
+    I_i, precomputed inverse-compositional Jacobians J_i in its own normalized
+    tangent frame — template_data.py);
+  - for each co-visibility edge (i, j), the photometric residual
+        r_ij = I_j( pi( T_j T_i^{-1} X_i ) ) - I_i(X_i)
+    has, to first order in the per-keyframe right-increments
+    T_k <- T_k exp(d_k), the Jacobian  J_i . A_i (d_j - d_i)  where
+    A_i = Ad_{Tn_i T_i} maps global increments into keyframe i's normalized
+    template tangent — so BA reuses the per-keyframe precomputed Jacobians
+    with ONE 6x6 transform per edge (cf. the proxy-template idea in
+    PAPERS.md: "Proxy Templates for Inverse Compositional Photometric BA");
+  - normal equations assemble into an (M,6)x(M,6) block system (pose-only:
+    stereo depths stay fixed, so there is no landmark block to Schur-eliminate;
+    the point dimension is the one that shards);
+  - gauge freedom is fixed by a strong prior on keyframe 0.
+
+Distribution: template points shard across the mesh point axis exactly like
+the frame-to-frame solver (bpvo_tpu/parallel/sharded.py); every device
+processes all edges over its point shard and one ``psum`` of the (M,M,6,6)
+block Hessian + (M,6) gradient + scale histogram per iteration rides ICI.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from bpvo_tpu.core import se3
+from bpvo_tpu.solver import mestimator
+from bpvo_tpu.types import InterpolationType, LossFunctionType
+from bpvo_tpu.vo import template_data as td_mod
+from bpvo_tpu.vo import warp as warp_mod
+from bpvo_tpu.vo.template_data import TemplateData
+
+
+class BAOptions(NamedTuple):
+    max_iterations: int = 10
+    loss: str = "Tukey"
+    interp: InterpolationType = InterpolationType.LINEAR
+    gauge_prior: float = 1e6     # prior weight pinning keyframe 0
+    damping: float = 1e-4        # Levenberg damping on the block diagonal
+    edge_radius: int = 1         # connect keyframes within this window distance
+
+
+def window_edges(n_keyframes: int, radius: int) -> Tuple[Tuple[int, int], ...]:
+    """Static co-visibility edges: ordered pairs (i, j), 0 < |i-j| <= radius."""
+    edges = []
+    for i in range(n_keyframes):
+        for j in range(n_keyframes):
+            if i != j and abs(i - j) <= radius:
+                edges.append((i, j))
+    return tuple(edges)
+
+
+def adjoint_similarity(G, scale):
+    """6x6 adjoint of the similarity G = [s R | t; 0 1] on twists (w, v):
+    Ad = [[R, 0], [[t]x R, s R]], so that G exp(xi) G^{-1} = exp(Ad xi)."""
+    R = G[:3, :3] / scale
+    t = G[:3, 3]
+    tx = se3.hat(t)
+    top = jnp.concatenate([R, jnp.zeros((3, 3), G.dtype)], axis=1)
+    bot = jnp.concatenate([tx @ R, scale * R], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _assemble(templates: TemplateData, channels, cam, poses,
+              edges, opts: BAOptions, axis_name=None):
+    """Assemble the block system over all edges with ONE residual evaluation
+    per edge: residuals are computed first, the global robust sigma derived
+    from them (psum'd histogram when sharded), then the same residuals are
+    weighted and reduced into the blocks.
+
+    ``templates``: TemplateData with a leading window axis (M, ...).
+    ``channels``: (M, C, H, W).  ``poses``: (M, 4, 4).
+    Returns (H (M,6,M,6), g (M,6), f_sq).
+    """
+    M = poses.shape[0]
+    loss = (LossFunctionType.TUKEY if opts.loss == "Tukey"
+            else LossFunctionType.HUBER)
+
+    # pass 1: residuals for every edge
+    edge_data = []
+    for (i, j) in edges:
+        td_i = jax.tree.map(lambda x: x[i], templates)
+        T_rel = poses[j] @ se3.inverse(poses[i])
+        r, valid = td_mod.compute_residuals(td_i, channels[j], cam, T_rel,
+                                            opts.interp)
+        edge_data.append((td_i, r, valid))
+
+    sigma = _global_sigma(
+        jnp.concatenate([jnp.abs(r[0]) for (_, r, _) in edge_data]),
+        jnp.concatenate([v for (_, _, v) in edge_data]), axis_name)
+
+    # pass 2: weight + reduce (cheap einsums over the cached residuals)
+    H = jnp.zeros((M, 6, M, 6), jnp.float32)
+    g = jnp.zeros((M, 6), jnp.float32)
+    f_sq = jnp.asarray(0.0, jnp.float32)
+    for (i, j), (td_i, r, valid) in zip(edges, edge_data):
+        w = mestimator.compute_weights(loss, r, valid[None, :], sigma)
+        Jf = td_i.jacobians.reshape(-1, 6)
+        rf = r.reshape(-1)
+        wf = w.reshape(-1)
+        Jw = Jf * wf[:, None]
+        S = jnp.dot(Jw.T, Jf, preferred_element_type=jnp.float32)
+        b = jnp.dot(Jw.T, rf, preferred_element_type=jnp.float32)
+        G = warp_mod.normalization_matrix(td_i.norm_scale,
+                                          td_i.norm_center) @ poses[i]
+        A = adjoint_similarity(G, td_i.norm_scale)
+        B = A.T @ S @ A          # block in global-increment space
+        be = A.T @ b
+        H = H.at[j, :, j, :].add(B)
+        H = H.at[i, :, i, :].add(B)
+        H = H.at[i, :, j, :].add(-B)
+        H = H.at[j, :, i, :].add(-B)
+        g = g.at[j].add(be)
+        g = g.at[i].add(-be)
+        f_sq = f_sq + jnp.sum(wf * rf * rf)
+
+    if axis_name is not None:
+        H, g, f_sq = jax.lax.psum((H, g, f_sq), axis_name)
+    return H, g, f_sq
+
+
+def _global_sigma(abs_r, valid, axis_name=None, bins: int = 5120):
+    """Robust sigma from |r| samples; psum'd histogram when sharded."""
+    local_max = jnp.max(jnp.where(valid, abs_r, 0.0))
+    if axis_name is not None:
+        hi = jnp.maximum(jax.lax.pmax(local_max, axis_name), 1e-12)
+    else:
+        hi = jnp.maximum(local_max, 1e-12)
+    idx = jnp.floor(jnp.clip(abs_r, 0.0, hi) / hi * (bins - 1)).astype(jnp.int32)
+    hist = jnp.zeros(bins, jnp.int32).at[idx].add(valid.astype(jnp.int32))
+    if axis_name is not None:
+        hist = jax.lax.psum(hist, axis_name)
+    n = jnp.sum(hist)
+    csum = jnp.cumsum(hist)
+    med = hi * jnp.argmax(csum >= (n + 1) // 2).astype(jnp.float32) / (bins - 1)
+    nf = n.astype(jnp.float32)
+    sigma = 1.4826 * (1.0 + 5.0 / jnp.maximum(nf - 6.0, 1.0)) * med
+    return jnp.where(sigma < 1e-6, 1.0, sigma)
+
+
+def ba_solve(templates: TemplateData, channels, cam: warp_mod.CameraModel,
+             poses_init, opts: BAOptions, axis_name=None):
+    """Run windowed BA; returns (poses (M,4,4), final weighted cost).
+
+    ``templates`` stacked with leading window axis M (vmap-style); pass the
+    point axis pre-sharded and ``axis_name`` set when running under shard_map.
+    """
+    M = poses_init.shape[0]
+    edges = window_edges(M, opts.edge_radius)
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+
+    def iteration(carry, _):
+        poses, _prev_cost = carry
+        H, g, f_sq = _assemble(templates, channels, cam, poses, edges, opts,
+                               axis_name)
+
+        # gauge prior on keyframe 0 + Levenberg damping
+        H = H.at[0, :, 0, :].add(opts.gauge_prior * eye6)
+        Hm = H.reshape(M * 6, M * 6)
+        Hm = Hm + opts.damping * jnp.diag(jnp.diag(Hm)) + 1e-6 * jnp.eye(
+            M * 6, dtype=jnp.float32)
+        delta = -jnp.linalg.solve(Hm, g.reshape(M * 6)).reshape(M, 6)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        delta = delta.at[0].set(0.0)  # hard gauge fix on keyframe 0
+        new_poses = jnp.einsum("mij,mjk->mik", poses, se3.exp(delta))
+        return (new_poses, f_sq), f_sq
+
+    (poses, cost), _ = jax.lax.scan(
+        iteration, (jnp.asarray(poses_init, jnp.float32),
+                    jnp.asarray(jnp.inf, jnp.float32)),
+        None, length=opts.max_iterations)
+    return poses, cost
+
+
+def make_sharded_ba(mesh, opts: BAOptions, m_keyframes: int):
+    """Distributed BA runner: window templates sharded along the point axis,
+    channels/poses replicated, block system psum'd each iteration."""
+    from bpvo_tpu.parallel import sharded
+
+    tmpl_spec = jax.tree.map(
+        lambda s: P(*((None,) + tuple(s))), sharded.template_spec())
+
+    def body(templates, channels, cam, poses):
+        return ba_solve(templates, channels, cam, poses, opts,
+                        axis_name=sharded.POINT_AXIS)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(tmpl_spec, P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def stack_templates(templates: Sequence[TemplateData]) -> TemplateData:
+    """Stack per-keyframe templates (equal capacity) along a window axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *templates)
+
+
+class KeyframeWindow:
+    """Host-side sliding window of keyframes feeding the BA solver
+    (the "sharded keyframe store" of BASELINE.json).
+
+    Collects (template, channels, pose) at each keyframe; when full, slides.
+    ``optimize()`` runs windowed BA and returns the refined world poses.
+    """
+
+    def __init__(self, max_keyframes: int, cam: warp_mod.CameraModel,
+                 opts: BAOptions = BAOptions(), mesh=None):
+        self._max = max_keyframes
+        self._cam = cam
+        self._opts = opts
+        self._mesh = mesh
+        self._templates = []
+        self._channels = []
+        self._poses = []
+        self._runner = None
+
+    def __len__(self):
+        return len(self._templates)
+
+    def push(self, template: TemplateData, channels, pose_world: np.ndarray):
+        """pose_world: camera-from-world warp pose T_i (X_i = T_i X_w)."""
+        self._templates.append(template)
+        self._channels.append(jnp.asarray(channels))
+        self._poses.append(np.asarray(pose_world, np.float32))
+        if len(self._templates) > self._max:
+            self._templates.pop(0)
+            self._channels.pop(0)
+            self._poses.pop(0)
+
+    def optimize(self):
+        """Run BA over the current window; returns refined (M,4,4) poses."""
+        M = len(self._templates)
+        if M < 2:
+            return np.asarray(self._poses)
+        templates = stack_templates(self._templates)
+        channels = jnp.stack(self._channels)
+        poses = jnp.asarray(np.stack(self._poses))
+        if self._mesh is not None:
+            from bpvo_tpu.parallel import sharded
+            templates = jax.tree.map(
+                lambda x, s: jax.device_put(
+                    x, jax.sharding.NamedSharding(
+                        self._mesh, P(*((None,) + tuple(s))))),
+                templates, sharded.template_spec())
+            if self._runner is None or self._runner_m != M:
+                self._runner = make_sharded_ba(self._mesh, self._opts, M)
+                self._runner_m = M
+            new_poses, cost = self._runner(templates, channels, self._cam,
+                                           poses)
+        else:
+            new_poses, cost = jax.jit(
+                partial(ba_solve, opts=self._opts))(
+                templates, channels, self._cam, poses)
+        new_np = np.asarray(new_poses)
+        self._poses = [new_np[i] for i in range(M)]
+        return new_np

@@ -31,7 +31,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bpvo_tpu.solver import gauss_newton as gn
 from bpvo_tpu.solver import linear_system, mestimator
 from bpvo_tpu.vo import template_data as td_mod
-from bpvo_tpu.vo import warp as warp_mod
 from bpvo_tpu.vo.template_data import TemplateData
 
 POINT_AXIS = "points"
@@ -113,60 +112,12 @@ def _linearize_sharded(tdata, channels, cam, T, scale, delta_scale,
 
 
 def _gn_sharded_body(tdata, channels, cam, T_init, opts: gn.GNOptions):
-    """The full GN while-loop, executed per-shard with psum'd reductions.
-    Mirrors gauss_newton.run with _linearize swapped for the sharded one."""
-    f32 = jnp.float32
-    T0 = jnp.asarray(T_init, f32)
-    s, c = tdata.norm_scale, tdata.norm_center
+    """The full GN while-loop, executed per-shard: gauss_newton.run with the
+    psum-reducing linearization injected."""
+    def linearize_fn(T, scale, dscale):
+        return _linearize_sharded(tdata, channels, cam, T, scale, dscale, opts)
 
-    H, g, f_norm, sigma, dscale, w = _linearize_sharded(
-        tdata, channels, cam, T0, jnp.asarray(1.0, f32),
-        jnp.asarray(1e10, f32), opts)
-    g_norm = jnp.max(jnp.abs(g))
-    g_tol = opts.gradient_tolerance * jnp.maximum(g_norm, gn._SQRT_EPS)
-    initial_opt = g_norm < g_tol
-
-    dp, ok = linear_system.solve(H, g)
-    dp = jnp.where(initial_opt, jnp.zeros_like(dp), dp)
-    T = jnp.where(initial_opt, T0, T0 @ warp_mod.params_to_pose(-dp, s, c))
-
-    init = gn.GNState(
-        T=T, dp=dp, f_norm=f_norm, f_norm_prev=jnp.asarray(0.0, f32),
-        dp_norm_prev=jnp.asarray(0.0, f32), g=g, g_tol=g_tol,
-        scale=sigma, delta_scale=dscale, weights=w, H=H,
-        num_iters=jnp.asarray(1, jnp.int32),
-        status=jnp.where(initial_opt, gn.STATUS_GRADIENT_TOL,
-                         gn.STATUS_MAX_ITERATIONS).astype(jnp.int32),
-        converged=initial_opt, solver_ok=ok)
-
-    def cond(st):
-        return (~st.converged) & st.solver_ok & (st.num_iters < opts.max_iterations)
-
-    def body(st):
-        dp_norm = jnp.linalg.norm(st.dp)
-        g_norm_ = jnp.max(jnp.abs(st.g))
-        conv, status = gn._test_convergence(
-            dp_norm, st.dp_norm_prev, g_norm_, st.f_norm, st.f_norm_prev,
-            st.g_tol, opts)
-
-        def converged_fn(st):
-            return st._replace(converged=jnp.asarray(True), status=status)
-
-        def iterate_fn(st):
-            H, g, f_new, sigma, dscale, w = _linearize_sharded(
-                tdata, channels, cam, st.T, st.scale, st.delta_scale, opts)
-            dp, ok = linear_system.solve(H, g)
-            T = st.T @ warp_mod.params_to_pose(-dp, s, c)
-            return st._replace(
-                T=T, dp=dp, f_norm=f_new, f_norm_prev=st.f_norm,
-                dp_norm_prev=dp_norm, g=g, scale=sigma, delta_scale=dscale,
-                weights=w, H=H, num_iters=st.num_iters + 1, solver_ok=ok,
-                status=jnp.where(ok, st.status,
-                                 gn.STATUS_SOLVER_ERROR).astype(jnp.int32))
-
-        return jax.lax.cond(conv, converged_fn, iterate_fn, st)
-
-    return jax.lax.while_loop(cond, body, init)
+    return gn.run(tdata, channels, cam, T_init, opts, linearize_fn=linearize_fn)
 
 
 def make_sharded_gn(mesh: Mesh, opts: gn.GNOptions):

@@ -131,65 +131,78 @@ def _test_convergence(dp_norm, dp_norm_prev, g_norm, f_norm, f_norm_prev,
 
 
 def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
-        opts: GNOptions) -> GNState:
+        opts: GNOptions, linearize_fn=None) -> GNState:
     """Run GN to convergence from T_init; returns the full final state.
 
     Pure function of its inputs — jit with static ``opts``.
+
+    The loop body holds exactly ONE linearization (the reference's structure at
+    pose_estimator_base.h:324-407 linearizes both before and inside the loop —
+    traced naively that doubles the XLA program, which matters here because
+    remote TPU compiles are minutes-long).  Iteration i linearizes at T_i,
+    tests convergence against iteration i-1's values, then solves and updates.
+
+    ``linearize_fn(T, scale, delta_scale) -> (H, g, f, sigma, dscale, w)``
+    may be overridden — the distributed path injects a psum-reducing variant
+    (bpvo_tpu/parallel/sharded.py).
     """
     f32 = jnp.float32
     T0 = jnp.asarray(T_init, f32)
     s, c = tdata.norm_scale, tdata.norm_center
+    if linearize_fn is None:
+        def linearize_fn(T, scale, dscale):
+            return _linearize(tdata, channels, cam, T, scale, dscale, opts)
 
-    H, g, f_norm, sigma, dscale, w = _linearize(
-        tdata, channels, cam, T0, jnp.asarray(1.0, f32),
-        jnp.asarray(1e10, f32), opts)
-    g_norm = jnp.max(jnp.abs(g))
-    g_tol = opts.gradient_tolerance * jnp.maximum(g_norm, _SQRT_EPS)
-
-    # initial point already optimal? (pose_estimator_base.h:346-360)
-    initial_opt = g_norm < g_tol
-
-    dp, ok = linear_system.solve(H, g)
-    dp = jnp.where(initial_opt, jnp.zeros_like(dp), dp)
-    T = jnp.where(initial_opt, T0, T0 @ warp_mod.params_to_pose(-dp, s, c))
-
+    C, K = tdata.pixels.shape
     init = GNState(
-        T=T, dp=dp, f_norm=f_norm, f_norm_prev=jnp.asarray(0.0, f32),
-        dp_norm_prev=jnp.asarray(0.0, f32), g=g, g_tol=g_tol,
-        scale=sigma, delta_scale=dscale, weights=w, H=H,
-        num_iters=jnp.asarray(1, jnp.int32),
-        status=jnp.where(initial_opt, STATUS_GRADIENT_TOL,
-                         STATUS_MAX_ITERATIONS).astype(jnp.int32),
-        converged=initial_opt, solver_ok=ok)
+        T=T0, dp=jnp.zeros(6, f32), f_norm=jnp.asarray(0.0, f32),
+        f_norm_prev=jnp.asarray(0.0, f32),
+        dp_norm_prev=jnp.asarray(0.0, f32), g=jnp.zeros(6, f32),
+        g_tol=jnp.asarray(0.0, f32), scale=jnp.asarray(1.0, f32),
+        delta_scale=jnp.asarray(1e10, f32),
+        weights=jnp.zeros((C, K), f32), H=jnp.eye(6, dtype=f32),
+        num_iters=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
+        converged=jnp.asarray(False), solver_ok=jnp.asarray(True))
 
     def cond(st: GNState):
         return (~st.converged) & st.solver_ok & (
             st.num_iters < opts.max_iterations)
 
     def body(st: GNState):
+        first = st.num_iters == 0
+        H, g, f_new, sigma, dscale, w = linearize_fn(
+            st.T, st.scale, st.delta_scale)
+        g_norm = jnp.max(jnp.abs(g))
+        # first-order-optimality threshold fixed from the first gradient
+        # (pose_estimator_base.h:341-343)
+        g_tol = jnp.where(
+            first, opts.gradient_tolerance * jnp.maximum(g_norm, _SQRT_EPS),
+            st.g_tol)
+
         dp_norm = jnp.linalg.norm(st.dp)
-        g_norm_ = jnp.max(jnp.abs(st.g))
         conv, status = _test_convergence(
-            dp_norm, st.dp_norm_prev, g_norm_, st.f_norm, st.f_norm_prev,
-            st.g_tol, opts)
+            dp_norm, st.dp_norm_prev, g_norm, f_new, st.f_norm, g_tol, opts)
+        # on the first iteration only the gradient test applies
+        # (pose_estimator_base.h:346-360)
+        g_conv = g_norm < g_tol
+        conv = jnp.where(first, g_conv, conv)
+        status = jnp.where(
+            first, jnp.where(g_conv, STATUS_GRADIENT_TOL,
+                             STATUS_MAX_ITERATIONS),
+            status).astype(jnp.int32)
 
-        def converged_fn(st: GNState):
-            return st._replace(converged=jnp.asarray(True), status=status)
-
-        def iterate_fn(st: GNState):
-            H, g, f_new, sigma, dscale, w = _linearize(
-                tdata, channels, cam, st.T, st.scale, st.delta_scale, opts)
-            dp, ok = linear_system.solve(H, g)
-            T = st.T @ warp_mod.params_to_pose(-dp, s, c)
-            return st._replace(
-                T=T, dp=dp, f_norm=f_new, f_norm_prev=st.f_norm,
-                dp_norm_prev=dp_norm, g=g, scale=sigma, delta_scale=dscale,
-                weights=w, H=H, num_iters=st.num_iters + 1,
-                solver_ok=ok,
-                status=jnp.where(ok, st.status,
-                                 STATUS_SOLVER_ERROR).astype(jnp.int32))
-
-        return jax.lax.cond(conv, converged_fn, iterate_fn, st)
+        dp, ok = linear_system.solve(H, g)
+        do_update = (~conv) & ok
+        T = jnp.where(do_update, st.T @ warp_mod.params_to_pose(-dp, s, c),
+                      st.T)
+        return GNState(
+            T=T, dp=jnp.where(do_update, dp, st.dp), f_norm=f_new,
+            f_norm_prev=st.f_norm, dp_norm_prev=dp_norm, g=g, g_tol=g_tol,
+            scale=sigma, delta_scale=dscale, weights=w, H=H,
+            num_iters=st.num_iters + 1,
+            status=jnp.where(ok, status, STATUS_SOLVER_ERROR).astype(jnp.int32),
+            converged=conv, solver_ok=ok)
 
     return jax.lax.while_loop(cond, body, init)
 

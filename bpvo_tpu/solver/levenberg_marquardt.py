@@ -1,0 +1,101 @@
+"""Levenberg-Marquardt pose refinement (trust-region variant of the GN solver).
+
+Counterpart of the reference's ``bpvo/pose_estimator_lm.h`` (damped system with
+mu/nu trust-region updates at pose_estimator_lm.h:72-119; flagged TODO in the
+reference's tracker but shipped).  Standard Madsen-Nielsen schedule:
+
+  solve (H + mu I) dp = g;  T' = T * Tn^{-1} exp(-dp) Tn
+  rho = (f^2 - f'^2) / (dp . (mu dp + g))
+  accept: mu *= max(1/3, 1 - (2 rho - 1)^3), nu = 2
+  reject: mu *= nu, nu *= 2
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bpvo_tpu.solver import gauss_newton as gn
+from bpvo_tpu.solver import linear_system
+from bpvo_tpu.vo import template_data as td_mod
+from bpvo_tpu.vo import warp as warp_mod
+
+
+class LMState(NamedTuple):
+    T: jnp.ndarray
+    f_norm: jnp.ndarray
+    g: jnp.ndarray
+    H: jnp.ndarray
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+    scale: jnp.ndarray
+    delta_scale: jnp.ndarray
+    weights: jnp.ndarray
+    num_iters: jnp.ndarray
+    converged: jnp.ndarray
+    status: jnp.ndarray
+
+
+def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
+        opts: gn.GNOptions, tau: float = 1e-4) -> LMState:
+    f32 = jnp.float32
+    T0 = jnp.asarray(T_init, f32)
+    s, c = tdata.norm_scale, tdata.norm_center
+
+    H, g, f_norm, sigma, dscale, w = gn._linearize(
+        tdata, channels, cam, T0, jnp.asarray(1.0, f32),
+        jnp.asarray(1e10, f32), opts)
+    mu = tau * jnp.max(jnp.diag(H))
+    g_tol = opts.gradient_tolerance * jnp.maximum(jnp.max(jnp.abs(g)),
+                                                  gn._SQRT_EPS)
+
+    init = LMState(T=T0, f_norm=f_norm, g=g, H=H, mu=mu,
+                   nu=jnp.asarray(2.0, f32), scale=sigma, delta_scale=dscale,
+                   weights=w, num_iters=jnp.asarray(0, jnp.int32),
+                   converged=jnp.max(jnp.abs(g)) < g_tol,
+                   status=jnp.asarray(gn.STATUS_MAX_ITERATIONS, jnp.int32))
+
+    def cond(st: LMState):
+        return (~st.converged) & (st.num_iters < opts.max_iterations)
+
+    def body(st: LMState):
+        H_aug = st.H + st.mu * jnp.eye(6, dtype=f32)
+        dp = linear_system.cholesky_solve_6x6(H_aug, st.g)
+        dp = jnp.where(jnp.all(jnp.isfinite(dp)), dp, jnp.zeros_like(dp))
+        T_new = st.T @ warp_mod.params_to_pose(-dp, s, c)
+
+        H2, g2, f_new, sigma, dscale, w2 = gn._linearize(
+            tdata, channels, cam, T_new, st.scale, st.delta_scale, opts)
+
+        pred = jnp.dot(dp, st.mu * dp + st.g)
+        rho = (st.f_norm ** 2 - f_new ** 2) / jnp.maximum(pred, 1e-20)
+        accept = rho > 0.0
+
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        mu_new = jnp.where(accept, st.mu * factor, st.mu * st.nu)
+        nu_new = jnp.where(accept, jnp.asarray(2.0, f32), st.nu * 2.0)
+
+        dp_norm = jnp.linalg.norm(dp)
+        f_for_test = jnp.where(accept, f_new, st.f_norm)
+        conv, status = gn._test_convergence(
+            dp_norm, jnp.asarray(0.0, f32), jnp.max(jnp.abs(st.g)),
+            f_for_test, st.f_norm,
+            opts.gradient_tolerance * jnp.maximum(jnp.max(jnp.abs(st.g)),
+                                                  gn._SQRT_EPS), opts)
+        conv = conv & accept
+
+        return LMState(
+            T=jnp.where(accept, T_new, st.T),
+            f_norm=jnp.where(accept, f_new, st.f_norm),
+            g=jnp.where(accept, g2, st.g),
+            H=jnp.where(accept, H2, st.H),
+            mu=mu_new, nu=nu_new,
+            scale=jnp.where(accept, sigma, st.scale),
+            delta_scale=jnp.where(accept, dscale, st.delta_scale),
+            weights=jnp.where(accept, w2, st.weights),
+            num_iters=st.num_iters + 1,
+            converged=conv,
+            status=jnp.where(conv, status, st.status).astype(jnp.int32))
+
+    return jax.lax.while_loop(cond, body, init)

@@ -35,6 +35,42 @@ def build(J, r, w):
     return H, g, f_sq
 
 
+def cholesky_solve_6x6(H, g):
+    """Fully unrolled 6x6 Cholesky solve.
+
+    ``jnp.linalg.solve`` lowers to a generic LU loop nest that XLA cannot fuse
+    into the surrounding GN while-loop body; an unrolled LL^T factorization is
+    ~60 scalar FLOPs that fuse completely.  The reference's equivalent is
+    Eigen's fixed-size LDLT (pose_estimator_base.h:67-151).
+    """
+    L = [[None] * 6 for _ in range(6)]
+    tiny = jnp.asarray(1e-20, H.dtype)
+    for i in range(6):
+        for j in range(i + 1):
+            s = H[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, tiny))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L y = g
+    y = [None] * 6
+    for i in range(6):
+        s = g[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def solve(H, g, eps: float = 1e-3):
     """Solve H dp = g with a Levenberg-augmented fallback.
 
@@ -45,10 +81,10 @@ def solve(H, g, eps: float = 1e-3):
     Hartley normalization (withNormalization) keeps H well-conditioned in f32 —
     that is its whole purpose (template_data.cc:91-92).
     """
-    dp = jnp.linalg.solve(H, g)
+    dp = cholesky_solve_6x6(H, g)
     ok = jnp.all(jnp.isfinite(dp)) & (
         jnp.max(jnp.abs(H @ dp - g)) <= 1e-4 * (1.0 + jnp.max(jnp.abs(g))))
     H_aug = H + eps * jnp.max(jnp.diag(H)) * jnp.eye(6, dtype=H.dtype)
-    dp_aug = jnp.linalg.solve(H_aug, g)
+    dp_aug = cholesky_solve_6x6(H_aug, g)
     dp_aug = jnp.where(jnp.all(jnp.isfinite(dp_aug)), dp_aug, jnp.zeros_like(dp_aug))
     return jnp.where(ok, dp, dp_aug), ok | jnp.all(jnp.isfinite(dp_aug))

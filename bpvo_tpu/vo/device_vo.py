@@ -1,0 +1,289 @@
+"""Device-resident visual odometry: the full per-frame step — descriptors,
+coarse-to-fine IRLS GN, keyframe decision, template rebuild, trajectory
+accumulation — as ONE pure jittable function with all state in device arrays.
+
+This is the TPU-native redesign of the reference's stateful host pipeline
+(``bpvo/vo.cc`` Impl::addFrame, vo.cc:125-224): where the reference swaps
+unique_ptr frames and rebuilds templates on the host thread, here the keyframe
+machinery is ``lax.cond`` branches over a ``VOState`` pytree, so a frame costs
+zero host round-trips and whole sequences can run under ``lax.scan`` in a
+single device dispatch (``run_chunk``).  The host wrapper (``DeviceVO``)
+fetches results in batches.
+
+Keyframe semantics follow vo.cc exactly:
+  - not a keyframe: current frame becomes the *candidate* (prev), motion
+    initialization accumulates (vo.cc:148-153)
+  - keyframe with no candidate: current frame becomes the keyframe
+    (vo.cc:166-177)
+  - keyframe with candidate: the candidate becomes the keyframe and the pose
+    is re-estimated against it, because the estimate that triggered keyframing
+    is suspect (vo.cc:178-188)
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bpvo_tpu.config import AlgorithmParameters
+from bpvo_tpu.ops import descriptors, imgproc, selection
+from bpvo_tpu.solver import gauss_newton as gn
+from bpvo_tpu.types import KeyFramingReason
+from bpvo_tpu.vo import template_data as td_mod
+from bpvo_tpu.vo import warp as warp_mod
+
+# device-side keyframing reason codes (mirror types.KeyFramingReason)
+KF_NONE = 0
+KF_TRANSLATION = 1
+KF_ROTATION = 2
+KF_FRAC_POINTS = 3
+
+KF_REASON_ENUMS = {
+    KF_NONE: KeyFramingReason.NO_KEYFRAMING,
+    KF_TRANSLATION: KeyFramingReason.LARGE_TRANSLATION,
+    KF_ROTATION: KeyFramingReason.LARGE_ROTATION,
+    KF_FRAC_POINTS: KeyFramingReason.SMALL_FRAC_OF_GOOD_POINTS,
+}
+
+
+class VOState(NamedTuple):
+    templates: Tuple[td_mod.TemplateData, ...]
+    prev_channels: Tuple[jnp.ndarray, ...]   # keyframe-candidate descriptor pyramid
+    prev_disparity: jnp.ndarray              # candidate full-res disparity
+    has_prev: jnp.ndarray                    # () bool
+    T_kf: jnp.ndarray                        # (4,4) initialization accumulator
+    pose_world: jnp.ndarray                  # (4,4) camera-to-world trajectory
+
+
+class VOStepOutput(NamedTuple):
+    pose: jnp.ndarray         # (4,4) relative motion wrt previous frame
+    pose_world: jnp.ndarray   # (4,4) accumulated camera-to-world pose
+    is_keyframe: jnp.ndarray  # () bool
+    reason: jnp.ndarray       # () int32
+    iters: jnp.ndarray        # (L,) int32 per-level GN iterations
+    f_norm: jnp.ndarray       # (L,)
+    frac_good: jnp.ndarray    # ()
+    H: jnp.ndarray            # (6,6) finest-level Hessian
+
+
+def _rigid_inverse(T):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Ti = jnp.eye(4, dtype=T.dtype)
+    Ti = Ti.at[:3, :3].set(R.T)
+    Ti = Ti.at[:3, 3].set(-R.T @ t)
+    return Ti
+
+
+def _compute_channels_pyr(image, p: AlgorithmParameters, n_levels: int):
+    out = []
+    img = image
+    for level in range(n_levels):
+        out.append(descriptors.compute(img, p))
+        if level + 1 < n_levels:
+            img = imgproc.pyr_down(img)
+    return tuple(out)
+
+
+def _build_templates(channels_pyr, disparity, cams, p, capacities):
+    out = []
+    for level, ch in enumerate(channels_pyr):
+        d_level = imgproc.disparity_at_level(disparity, level)
+        d_level = d_level[:ch.shape[1], :ch.shape[2]]
+        out.append(td_mod.set_data(ch, d_level, cams[level], p,
+                                   capacities[level], level))
+    return tuple(out)
+
+
+def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
+              max_test_level, good_threshold):
+    n_levels = len(channels_pyr)
+    T = T_init
+    iters = [jnp.asarray(0, jnp.int32)] * n_levels
+    fs = [jnp.asarray(0.0, jnp.float32)] * n_levels
+    finest = None
+    for level in range(n_levels - 1, max_test_level - 1, -1):
+        st = gn.run(templates[level], channels_pyr[level], cams[level], T,
+                    opts_per_level[level])
+        T = st.T
+        iters[level] = st.num_iters
+        fs[level] = st.f_norm
+        finest = st
+    td = templates[max_test_level]
+    frac = gn.fraction_of_good_points(
+        finest.weights, td.num_channels, td.num_valid, good_threshold)
+    return T, jnp.stack(iters), jnp.stack(fs), frac, finest.H
+
+
+def _keyframe_reason(T_est, frac_good, p: AlgorithmParameters):
+    """Device version of shouldKeyFrame (vo.cc:199-224)."""
+    t_sq = jnp.sum(T_est[:3, 3] ** 2)
+    R = T_est[:3, :3]
+    sy = jnp.sqrt(R[0, 0] ** 2 + R[1, 0] ** 2)
+    euler = jnp.stack([
+        jnp.arctan2(R[2, 1], R[2, 2]),
+        jnp.arctan2(-R[2, 0], jnp.maximum(sy, 1e-12)),
+        jnp.arctan2(R[1, 0], R[0, 0])]) * (180.0 / jnp.pi)
+    r_sq = jnp.sum(euler ** 2)
+    reason = jnp.where(
+        t_sq > p.minTranslationMagToKeyFrame ** 2, KF_TRANSLATION,
+        jnp.where(r_sq > p.minRotationMagToKeyFrame ** 2, KF_ROTATION,
+                  jnp.where(frac_good < p.maxFractionOfGoodPointsToKeyFrame,
+                            KF_FRAC_POINTS, KF_NONE)))
+    return reason.astype(jnp.int32)
+
+
+def make_vo_step(p: AlgorithmParameters, cams, capacities,
+                 opts_per_level: Tuple[gn.GNOptions, ...]):
+    """Build the pure step function (state, image, disparity) -> (state, out).
+
+    All configuration is closed over statically; the returned function is
+    jit/scan/shard_map-compatible.
+    """
+    n_levels = p.numPyramidLevels
+    cams = tuple(cams)
+    capacities = tuple(capacities)
+
+    def step(state: VOState, image, disparity):
+        channels = _compute_channels_pyr(image.astype(jnp.float32), p, n_levels)
+        disparity = disparity.astype(jnp.float32)
+
+        T_est, iters, fs, frac, H = _estimate(
+            state.templates, channels, cams, state.T_kf, opts_per_level,
+            p.maxTestLevel, p.goodPointThreshold)
+
+        reason = _keyframe_reason(T_est, frac, p)
+        is_kf = reason != KF_NONE
+
+        def no_keyframe(op):
+            state, channels, disparity, T_est = op
+            pose = T_est @ _rigid_inverse(state.T_kf)
+            new_state = VOState(
+                templates=state.templates,
+                prev_channels=channels, prev_disparity=disparity,
+                has_prev=jnp.asarray(True),
+                T_kf=T_est, pose_world=state.pose_world)
+            return new_state, pose, iters, fs
+
+        def keyframe(op):
+            state, channels, disparity, T_est = op
+
+            def from_current(_):
+                # current frame becomes keyframe (vo.cc:166-177)
+                templates = _build_templates(channels, disparity, cams, p,
+                                             capacities)
+                pose = T_est @ _rigid_inverse(state.T_kf)
+                return templates, pose, jnp.eye(4, dtype=jnp.float32), iters, fs
+
+            def from_candidate(_):
+                # candidate becomes keyframe; re-estimate (vo.cc:178-188)
+                templates = _build_templates(
+                    state.prev_channels, state.prev_disparity, cams, p,
+                    capacities)
+                T2, it2, fs2, _frac2, _H2 = _estimate(
+                    templates, channels, cams, jnp.eye(4, dtype=jnp.float32),
+                    opts_per_level, p.maxTestLevel, p.goodPointThreshold)
+                return templates, T2, T2, it2, fs2
+
+            templates, pose, T_kf_new, it_out, fs_out = jax.lax.cond(
+                state.has_prev, from_candidate, from_current, None)
+            new_state = VOState(
+                templates=templates,
+                prev_channels=channels, prev_disparity=disparity,
+                has_prev=jnp.asarray(False),
+                T_kf=T_kf_new, pose_world=state.pose_world)
+            return new_state, pose, it_out, fs_out
+
+        new_state, pose, it_out, fs_out = jax.lax.cond(
+            is_kf, keyframe, no_keyframe, (state, channels, disparity, T_est))
+
+        pose_world = new_state.pose_world @ _rigid_inverse(pose)
+        new_state = new_state._replace(pose_world=pose_world)
+        out = VOStepOutput(pose=pose, pose_world=pose_world,
+                           is_keyframe=is_kf, reason=reason,
+                           iters=it_out, f_norm=fs_out, frac_good=frac, H=H)
+        return new_state, out
+
+    return step
+
+
+class DeviceVO:
+    """Host wrapper around the device-resident step.
+
+    ``add_frames(images, disparities)`` runs a whole chunk under ``lax.scan``
+    in one dispatch and returns stacked outputs; ``init`` consumes the first
+    frame (reference FirstFrameResult, vo.cc:123-139).
+    """
+
+    def __init__(self, K, baseline: float, image_size,
+                 params: AlgorithmParameters = None):
+        p = params or AlgorithmParameters()
+        rows, cols = image_size
+        if p.numPyramidLevels <= 0:
+            p = p.replace(numPyramidLevels=p.num_pyramid_levels_for(rows, cols))
+        self._p = p
+        base_cam = warp_mod.CameraModel.from_K(K, baseline)
+        self._cams = tuple(base_cam.at_level(l)
+                           for l in range(p.numPyramidLevels))
+        shapes = [(rows, cols)]
+        for _ in range(1, p.numPyramidLevels):
+            r, c = shapes[-1]
+            shapes.append(((r + 1) // 2, (c + 1) // 2))
+        self._capacities = tuple(
+            selection.capacity_for_level(p, r, c, l)
+            for l, (r, c) in enumerate(shapes))
+        fine = gn.GNOptions.from_params(p, coarse=False)
+        coarse = gn.GNOptions.from_params(p, coarse=True)
+        self._opts = tuple(fine if l == p.maxTestLevel else coarse
+                           for l in range(p.numPyramidLevels))
+        self._step = make_vo_step(p, self._cams, self._capacities, self._opts)
+        self._step_jit = jax.jit(self._step)
+        self._scan_jit = jax.jit(self._run_chunk)
+        self._init_jit = jax.jit(self._init_state)
+        self.state: VOState = None
+
+    # -- jitted helpers -------------------------------------------------
+    def _init_state(self, image, disparity):
+        p = self._p
+        channels = _compute_channels_pyr(
+            jnp.asarray(image, jnp.float32), p, p.numPyramidLevels)
+        disparity = jnp.asarray(disparity, jnp.float32)
+        templates = _build_templates(channels, disparity, self._cams, p,
+                                     self._capacities)
+        return VOState(
+            templates=templates, prev_channels=channels,
+            prev_disparity=disparity, has_prev=jnp.asarray(False),
+            T_kf=jnp.eye(4, dtype=jnp.float32),
+            pose_world=jnp.eye(4, dtype=jnp.float32))
+
+    def _run_chunk(self, state, images, disparities):
+        return jax.lax.scan(
+            lambda s, xs: self._step(s, xs[0], xs[1]), state,
+            (images, disparities))
+
+    # -- public API ----------------------------------------------------
+    def init(self, image, disparity):
+        self.state = self._init_jit(image, disparity)
+
+    def add_frame(self, image, disparity) -> VOStepOutput:
+        """Single online step; returns device-resident outputs (fetch lazily)."""
+        if self.state is None:
+            self.init(image, disparity)
+            return None
+        self.state, out = self._step_jit(
+            self.state, jnp.asarray(image), jnp.asarray(disparity))
+        return out
+
+    def add_frames(self, images: np.ndarray, disparities: np.ndarray
+                   ) -> VOStepOutput:
+        """Chunk mode: (N,H,W) arrays -> stacked VOStepOutput, one dispatch."""
+        if self.state is None:
+            self.init(images[0], disparities[0])
+            images, disparities = images[1:], disparities[1:]
+        self.state, outs = self._scan_jit(
+            self.state, jnp.asarray(images, jnp.float32),
+            jnp.asarray(disparities, jnp.float32))
+        return outs

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from bpvo_tpu.config import AlgorithmParameters
-from bpvo_tpu.core import se3
 from bpvo_tpu.ops import descriptors, imgproc, selection
 from bpvo_tpu.types import KeyFramingReason, Result
 from bpvo_tpu.vo import template_data as td_mod
@@ -31,19 +30,29 @@ from bpvo_tpu.vo.pose_estimator import PoseEstimator
 from bpvo_tpu.vo.trajectory import Trajectory
 
 
-@partial(jax.jit, static_argnames=("p",))
-def _compute_channels(image, p: AlgorithmParameters):
-    return descriptors.compute(image, p)
+@partial(jax.jit, static_argnames=("p", "n_levels"))
+def _process_frame(image, p: AlgorithmParameters, n_levels: int):
+    """Image -> descriptor-channel pyramid, one fused dispatch
+    (reference builds this per level with parallel_for, vo_frame.cc:48-59)."""
+    out = []
+    img = image
+    for level in range(n_levels):
+        out.append(descriptors.compute(img, p))
+        if level + 1 < n_levels:
+            img = imgproc.pyr_down(img)
+    return tuple(out)
 
 
-@partial(jax.jit, static_argnames=())
-def _pyr_down(image):
-    return imgproc.pyr_down(image)
-
-
-@partial(jax.jit, static_argnames=("p", "capacity", "level"))
-def _set_template(channels, disparity_level, cam, p, capacity, level):
-    return td_mod.set_data(channels, disparity_level, cam, p, capacity, level)
+@partial(jax.jit, static_argnames=("p", "capacities"))
+def _set_templates_all(channels_pyr, disparity, cams, p, capacities):
+    """All levels' templates in one dispatch (reference vo_frame.cc:61-93)."""
+    out = []
+    for level, ch in enumerate(channels_pyr):
+        d_level = imgproc.disparity_at_level(disparity, level)
+        d_level = d_level[:ch.shape[1], :ch.shape[2]]
+        out.append(td_mod.set_data(ch, d_level, cams[level], p,
+                                   capacities[level], level))
+    return tuple(out)
 
 
 class _Frame:
@@ -62,24 +71,17 @@ class _Frame:
         self.image = image
         self.disparity = jnp.asarray(disparity, jnp.float32)
         self.templates = None
-        img = jnp.asarray(image, jnp.float32)
-        self.channels = []
-        for level in range(n_levels):
-            self.channels.append(_compute_channels(img, p))
-            if level + 1 < n_levels:
-                img = _pyr_down(img)
+        self.channels = _process_frame(jnp.asarray(image, jnp.float32), p,
+                                       n_levels)
 
     @property
     def has_template(self) -> bool:
         return self.templates is not None
 
     def set_template(self, cams, p: AlgorithmParameters, capacities):
-        self.templates = []
-        for level, ch in enumerate(self.channels):
-            d_level = imgproc.disparity_at_level(self.disparity, level)
-            d_level = d_level[:ch.shape[1], :ch.shape[2]]
-            self.templates.append(_set_template(
-                ch, d_level, cams[level], p, capacities[level], level))
+        self.templates = _set_templates_all(
+            tuple(self.channels), self.disparity, tuple(cams), p,
+            tuple(capacities))
 
     def clear(self):
         self.channels = []
@@ -205,7 +207,12 @@ class VisualOdometry:
         if t_sq > p.minTranslationMagToKeyFrame ** 2:
             return KeyFramingReason.LARGE_TRANSLATION
 
-        euler = np.asarray(se3.rotation_to_euler_deg(jnp.asarray(T_est)))
+        # host-side Euler magnitude (same convention as se3.rotation_to_euler_deg)
+        R = np.asarray(T_est)[:3, :3]
+        sy = np.sqrt(R[0, 0] ** 2 + R[1, 0] ** 2)
+        euler = np.degrees([np.arctan2(R[2, 1], R[2, 2]),
+                            np.arctan2(-R[2, 0], max(sy, 1e-12)),
+                            np.arctan2(R[1, 0], R[0, 0])])
         if float(np.sum(euler ** 2)) > p.minRotationMagToKeyFrame ** 2:
             return KeyFramingReason.LARGE_ROTATION
 

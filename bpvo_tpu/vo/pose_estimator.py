@@ -5,14 +5,16 @@ Counterpart of the reference's ``bpvo/vo_pose_estimator.{h,cc}``
 vo_pose_estimator.cc:63-93; relaxed parameters for coarse levels;
 ``getFractionOfGoodPoints`` at :101-107).
 
-Each pyramid level has its own static shape, so each level's GN run is its own
-jit specialization (compiled once per image-size/parameter combination and
-cached process-wide).
+TPU design: the whole coarse-to-fine chain is ONE jitted XLA program — the
+Python level loop is unrolled at trace time (levels have static shapes), so a
+frame's pose estimate is a single device dispatch with no host round-trips
+between levels.  Per-level statistics come back as small stacked arrays and are
+materialized lazily.
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +29,47 @@ from bpvo_tpu.vo.template_data import TemplateData
 
 @partial(jax.jit, static_argnames=("opts",))
 def _run_level(tdata, channels, cam, T, opts):
+    """Single-level GN (kept for tests/tools; production uses _estimate_all)."""
     return gn.run(tdata, channels, cam, T, opts)
+
+
+@partial(jax.jit, static_argnames=("opts_per_level", "max_test_level",
+                                   "good_threshold"))
+def _estimate_all(templates: Tuple[TemplateData, ...],
+                  channels: Tuple[jnp.ndarray, ...],
+                  cams: Tuple[warp_mod.CameraModel, ...],
+                  T_init,
+                  opts_per_level: Tuple[gn.GNOptions, ...],
+                  max_test_level: int,
+                  good_threshold: float):
+    """Full coarse-to-fine estimation as one XLA program.
+
+    Returns (T, iters (L,), f_norm (L,), g_norm (L,), status (L,), frac_good,
+    H (6,6), finest_weights).
+    """
+    n_levels = len(channels)
+    T = jnp.asarray(T_init, jnp.float32)
+    iters = [jnp.asarray(0, jnp.int32)] * n_levels
+    fs = [jnp.asarray(0.0, jnp.float32)] * n_levels
+    gs = [jnp.asarray(0.0, jnp.float32)] * n_levels
+    status = [jnp.asarray(gn.STATUS_MAX_ITERATIONS, jnp.int32)] * n_levels
+
+    finest = None
+    for level in range(n_levels - 1, max_test_level - 1, -1):
+        st = gn.run(templates[level], channels[level], cams[level], T,
+                    opts_per_level[level])
+        T = st.T
+        iters[level] = st.num_iters
+        fs[level] = st.f_norm
+        gs[level] = jnp.max(jnp.abs(st.g))
+        status[level] = st.status
+        finest = st
+
+    td = templates[max_test_level]
+    frac = gn.fraction_of_good_points(
+        finest.weights, td.num_channels, td.num_valid, good_threshold)
+    return (T, jnp.stack(iters), jnp.stack(fs), jnp.stack(gs),
+            jnp.stack(status), frac, finest.H, finest.weights)
 
 
 class PoseEstimator:
@@ -35,59 +77,61 @@ class PoseEstimator:
         self._p = p
         self._fine_opts = gn.GNOptions.from_params(p, coarse=False)
         self._coarse_opts = gn.GNOptions.from_params(p, coarse=True)
-        self._last_state: Optional[gn.GNState] = None
-        self._last_tdata: Optional[TemplateData] = None
+        self._last_weights = None
+        self._last_H = None
+        self._last_frac: float = 1.0
 
-    def estimate(self, templates: Sequence[Optional[TemplateData]],
+    def _opts_for(self, n_levels: int) -> Tuple[gn.GNOptions, ...]:
+        return tuple(self._fine_opts if lvl == self._p.maxTestLevel
+                     else self._coarse_opts for lvl in range(n_levels))
+
+    def estimate(self, templates: Sequence[TemplateData],
                  channels_pyr: Sequence[jnp.ndarray],
                  cams: Sequence[warp_mod.CameraModel],
                  T_init) -> tuple:
-        """Run GN from the coarsest level down to maxTestLevel.
+        """One-dispatch coarse-to-fine estimate.
 
-        ``templates[l]``/``channels_pyr[l]``/``cams[l]`` are per-level; levels
-        below maxTestLevel may be None.  Returns (T_est (4,4) np, per-level
-        OptimizerStatistics list).
+        Returns (T_est (4,4) np.float32, per-level OptimizerStatistics list).
         """
         p = self._p
         n_levels = len(channels_pyr)
-        stats: List[Optional[OptimizerStatistics]] = [None] * n_levels
-        T = jnp.asarray(T_init, jnp.float32)
+        (T, iters, fs, gs, status, frac, H, w) = _estimate_all(
+            tuple(templates), tuple(channels_pyr), tuple(cams),
+            jnp.asarray(T_init, jnp.float32), self._opts_for(n_levels),
+            p.maxTestLevel, p.goodPointThreshold)
 
-        st = None
-        for level in range(n_levels - 1, p.maxTestLevel - 1, -1):
-            opts = self._fine_opts if level == p.maxTestLevel else self._coarse_opts
-            st = _run_level(templates[level], channels_pyr[level], cams[level],
-                            T, opts)
-            T = st.T
-            stats[level] = OptimizerStatistics(
-                num_iterations=int(st.num_iters),
-                final_error=float(st.f_norm),
-                first_order_optimality=float(jnp.max(jnp.abs(st.g))),
-                status=gn.STATUS_ENUMS[int(st.status)])
-
-        self._last_state = st
-        self._last_tdata = templates[p.maxTestLevel]
-        return np.asarray(T), [s for s in stats if s is not None]
+        self._last_weights = w
+        self._last_H = H
+        # one host sync materializes everything below
+        T_np = np.asarray(T)
+        self._last_frac = float(frac)
+        iters_np, fs_np, gs_np, st_np = (np.asarray(iters), np.asarray(fs),
+                                         np.asarray(gs), np.asarray(status))
+        stats: List[OptimizerStatistics] = []
+        for level in range(p.maxTestLevel, n_levels):
+            stats.append(OptimizerStatistics(
+                num_iterations=int(iters_np[level]),
+                final_error=float(fs_np[level]),
+                first_order_optimality=float(gs_np[level]),
+                status=gn.STATUS_ENUMS[int(st_np[level])]))
+        return T_np, stats
 
     # ---- queries about the most recent run (finest level) ----
 
     def fraction_of_good_points(self, threshold: float) -> float:
-        """(reference vo_pose_estimator.cc:101-107)"""
-        if self._last_state is None:
-            return 1.0
-        td = self._last_tdata
-        return float(gn.fraction_of_good_points(
-            self._last_state.weights, td.num_channels, td.num_valid, threshold))
+        """(reference vo_pose_estimator.cc:101-107) — computed on-device during
+        estimate(); the threshold there is the one from AlgorithmParameters."""
+        return self._last_frac
 
     def last_weights(self):
-        return None if self._last_state is None else self._last_state.weights
+        return self._last_weights
 
     def last_covariance(self) -> np.ndarray:
         """6x6 covariance = inverse of the final GN Hessian
         (reference Result.covariance, types.h:503)."""
-        if self._last_state is None:
+        if self._last_H is None:
             return np.eye(6)
-        H = np.asarray(self._last_state.H, np.float64)
+        H = np.asarray(self._last_H, np.float64)
         try:
             return np.linalg.inv(H)
         except np.linalg.LinAlgError:

@@ -1,0 +1,180 @@
+"""Tests for the app layer (VoApp, vo_perf, eval_descriptors), trajectory
+writers, point-cloud IO, KITTI metrics, and the LM optimizer."""
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from bpvo_tpu.config import AlgorithmParameters, ConfigFile
+from bpvo_tpu.core import se3
+from bpvo_tpu.data.synthetic import SyntheticPlaneDataset
+from bpvo_tpu.eval import kitti_eval
+from bpvo_tpu.vo.point_cloud import PointCloud, read_ply, write_ply
+from bpvo_tpu.vo.trajectory import Trajectory
+
+
+def write_synth_config(tmp_path, n_frames=6):
+    cfg = tmp_path / "synth.cfg"
+    cfg.write_text(
+        "Dataset = synthetic\n"
+        "SyntheticRows = 120\nSyntheticCols = 160\n"
+        f"SyntheticNumFrames = {n_frames}\n"
+        "numPyramidLevels = 3\nminSaliency = 2.0\n"
+        "functionTolerance = 1e-4\nparameterTolerance = 1e-6\n"
+        "lossFunction = Huber\n")
+    return str(cfg)
+
+
+class TestTrajectory:
+    def test_accumulation(self):
+        tr = Trajectory()
+        step = np.asarray(se3.exp(jnp.asarray(
+            [0, 0, 0, 0.1, 0, 0.2], jnp.float32)), dtype=np.float64)
+        tr.push(np.eye(4))
+        tr.push(step)
+        tr.push(step)
+        # trajectory stores camera-to-world = inverse of accumulated warp
+        expect = np.linalg.inv(step @ step)
+        np.testing.assert_allclose(tr.back(), expect, atol=1e-6)
+
+    def test_writers(self, tmp_path):
+        tr = Trajectory()
+        tr.push(np.eye(4))
+        tr.push(np.asarray(se3.exp(jnp.asarray(
+            [0, 0, 0.01, 0.1, 0, 0], jnp.float32))))
+        path = tmp_path / "t_path.txt"
+        kitti = tmp_path / "t_kitti.txt"
+        tr.write_camera_path(str(path))
+        tr.write_kitti_format(str(kitti))
+        assert len(path.read_text().splitlines()) == 2
+        poses = kitti_eval.load_poses(str(kitti))
+        assert len(poses) == 2
+        np.testing.assert_allclose(poses[1], tr[1], atol=1e-6)
+
+
+class TestPointCloud:
+    def test_ply_roundtrip(self, tmp_path):
+        r = np.random.default_rng(0)
+        n = 50
+        pc = PointCloud(
+            points=r.standard_normal((n, 3)).astype(np.float32),
+            colors=r.integers(0, 255, (n, 4)).astype(np.uint8),
+            weights=r.uniform(0, 1, n).astype(np.float32))
+        f = str(tmp_path / "cloud.ply")
+        write_ply(f, pc)
+        back = read_ply(f)
+        np.testing.assert_allclose(back.points, pc.points, atol=1e-6)
+        np.testing.assert_array_equal(back.colors[:, :3], pc.colors[:, :3])
+
+    def test_filtered(self):
+        pc = PointCloud(points=np.array([[0, 0, 1], [0, 0, 30]], np.float32),
+                        colors=np.zeros((2, 4), np.uint8),
+                        weights=np.array([0.9, 0.9], np.float32))
+        assert len(pc.filtered(max_depth=10.0)) == 1
+
+
+class TestKittiEval:
+    def _make_traj(self, n, step_t, drift=0.0):
+        poses = [np.eye(4)]
+        for i in range(1, n):
+            T = poses[-1].copy()
+            T[:3, 3] = T[:3, 3] + np.array([drift * i, 0, step_t])
+            poses.append(T)
+        return poses
+
+    def test_zero_error_for_identical(self):
+        gt = self._make_traj(600, 0.5)
+        errs = kitti_eval.calc_sequence_errors(gt, gt)
+        assert errs
+        assert all(e.t_err < 1e-9 and e.r_err < 1e-9 for e in errs)
+        assert kitti_eval.ate_rmse(gt, gt) < 1e-12
+
+    def test_translation_drift_measured(self):
+        gt = self._make_traj(600, 0.5)
+        est = self._make_traj(600, 0.505)  # 1% forward drift
+        stats = kitti_eval.summarize(kitti_eval.calc_sequence_errors(gt, est))
+        assert 0.5 < stats.t_err_percent < 2.0
+        assert kitti_eval.ate_rmse(gt, est) > 0.1
+
+    def test_load_poses(self, tmp_path):
+        f = tmp_path / "poses.txt"
+        f.write_text("1 0 0 5 0 1 0 6 0 0 1 7\n")
+        poses = kitti_eval.load_poses(str(f))
+        assert len(poses) == 1
+        np.testing.assert_allclose(poses[0][:3, 3], [5, 6, 7])
+
+
+class TestVoApp:
+    def test_runs_and_writes(self, tmp_path):
+        from bpvo_tpu.apps.vo_app import VoApp, VoAppOptions
+        ds = SyntheticPlaneDataset(rows=120, cols=160, n_frames=6)
+        p = AlgorithmParameters(minSaliency=2.0, numPyramidLevels=3,
+                                functionTolerance=1e-4,
+                                parameterTolerance=1e-6)
+        prefix = str(tmp_path / "out")
+        app = VoApp(ds, p, VoAppOptions(trajectory_prefix=prefix,
+                                        points_prefix=prefix,
+                                        min_point_weight=0.0,
+                                        max_point_depth=100.0))
+        res = app.run(log_every=0)
+        assert res.num_frames == 6
+        assert os.path.exists(prefix + "_path.txt")
+        assert os.path.exists(prefix + "_kitti.txt")
+        assert os.path.exists(prefix + "_time.txt")
+        assert len(kitti_eval.load_poses(prefix + "_kitti.txt")) == 6
+
+    def test_trajectory_matches_gt(self, tmp_path):
+        from bpvo_tpu.apps.vo_app import VoApp, VoAppOptions
+        ds = SyntheticPlaneDataset(
+            rows=120, cols=160, n_frames=6,
+            twist_per_frame=(0.0, 0.0, 0.0, 0.004, 0.0, 0.008))
+        p = AlgorithmParameters(minSaliency=2.0, numPyramidLevels=3,
+                                functionTolerance=1e-4,
+                                parameterTolerance=1e-6)
+        app = VoApp(ds, p, VoAppOptions())
+        res = app.run(log_every=0)
+        est = [res.vo.trajectory[i] for i in range(len(res.vo.trajectory))]
+        gt = [ds.gt_world_pose(i) for i in range(6)]
+        ate = kitti_eval.ate_rmse(gt, est)
+        assert ate < 0.01, ate
+
+
+class TestVoPerf:
+    def test_summary(self, tmp_path):
+        from bpvo_tpu.apps.vo_perf import run_perf
+        cfg = write_synth_config(tmp_path, n_frames=5)
+        prefix = str(tmp_path / "perf")
+        summary = run_perf(cfg, prefix, warmup=1)
+        assert summary["frames"] == 5
+        assert summary["hz"] > 0
+        assert os.path.exists(prefix + "_summary.json")
+        data = json.loads(open(prefix + "_summary.json").read())
+        assert data["frames"] == 5
+
+
+class TestEvalDescriptors:
+    def test_two_descriptors(self, tmp_path):
+        from bpvo_tpu.apps.eval_descriptors import run
+        from bpvo_tpu.types import DescriptorType
+        cfg = write_synth_config(tmp_path, n_frames=3)
+        out = run(cfg, "", num_frames=3,
+                  descriptors=[DescriptorType.INTENSITY,
+                               DescriptorType.BITPLANES])
+        assert set(out) == {"Intensity", "BitPlanes"}
+        assert all(v["frames"] == 3 for v in out.values())
+
+
+class TestLevenbergMarquardt:
+    def test_recovers_synthetic_motion(self):
+        from bpvo_tpu.solver import levenberg_marquardt as lm
+        from bpvo_tpu.solver import gauss_newton as gn
+        from test_gn import build_template, render_pair
+        twist = [0.001, -0.002, 0.001, 0.01, -0.005, 0.015]
+        I0, I1, D, cam, T_true = render_pair(twist)
+        tdata, p = build_template(I0, D, cam)
+        opts = gn.GNOptions(function_tolerance=1e-5, parameter_tolerance=1e-6)
+        st = lm.run(tdata, jnp.asarray(I1)[None], cam, jnp.eye(4), opts)
+        err = np.asarray(se3.log(jnp.asarray(
+            np.asarray(st.T) @ np.linalg.inv(T_true), jnp.float32)))
+        assert np.abs(err).max() < 5e-3, (err, int(st.num_iters))

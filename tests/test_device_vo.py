@@ -1,0 +1,100 @@
+"""Device-resident VO: parity with the host VisualOdometry on synthetic data."""
+import jax.numpy as jnp
+import numpy as np
+
+from bpvo_tpu import AlgorithmParameters
+from bpvo_tpu.core import se3
+from bpvo_tpu.vo.device_vo import DeviceVO
+from test_gn import H_IMG, W_IMG, make_cam
+from test_odometry import make_sequence
+
+
+def make_params(**kw):
+    base = dict(minSaliency=2.0, numPyramidLevels=3,
+                functionTolerance=1e-4, parameterTolerance=1e-6,
+                maxIterations=50)
+    base.update(kw)
+    return AlgorithmParameters(**base)
+
+
+def test_online_recovers_motion():
+    step = [0, 0, 0, 0.004, 0, 0.008]
+    frames = make_sequence(step, 5)
+    cam = make_cam()
+    vo = DeviceVO(np.asarray(cam.K()), float(cam.baseline), (H_IMG, W_IMG),
+                  make_params())
+    T_step = np.asarray(se3.exp(jnp.asarray(step, jnp.float32)))
+    outs = []
+    for I, D in frames:
+        out = vo.add_frame(I, D)
+        if out is not None:
+            outs.append(out)
+    assert len(outs) == 4
+    for out in outs:
+        err = np.asarray(se3.log(jnp.asarray(
+            np.asarray(out.pose) @ np.linalg.inv(T_step), jnp.float32)))
+        assert np.abs(err[3:]).max() < 2e-3, err
+        assert np.abs(err[:3]).max() < 1e-3, err
+
+
+def test_scan_chunk_matches_online():
+    step = [0, 0, 0, 0.003, 0.001, 0.006]
+    frames = make_sequence(step, 6)
+    cam = make_cam()
+    images = np.stack([f[0] for f in frames])
+    disps = np.stack([f[1] for f in frames])
+
+    vo1 = DeviceVO(np.asarray(cam.K()), float(cam.baseline), (H_IMG, W_IMG),
+                   make_params())
+    poses_online = []
+    for I, D in frames:
+        out = vo1.add_frame(I, D)
+        if out is not None:
+            poses_online.append(np.asarray(out.pose))
+
+    vo2 = DeviceVO(np.asarray(cam.K()), float(cam.baseline), (H_IMG, W_IMG),
+                   make_params())
+    outs = vo2.add_frames(images, disps)
+    poses_chunk = np.asarray(outs.pose)
+    assert poses_chunk.shape == (5, 4, 4)
+    for a, b in zip(poses_online, poses_chunk):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_keyframing_in_device_loop():
+    # forward motion large enough to trigger translation keyframes
+    p = make_params(maxFractionOfGoodPointsToKeyFrame=0.0,
+                    minTranslationMagToKeyFrame=0.05)
+    step = [0, 0, 0, 0.0, 0.0, 0.022]
+    frames = make_sequence(step, 8)
+    cam = make_cam()
+    vo = DeviceVO(np.asarray(cam.K()), float(cam.baseline), (H_IMG, W_IMG), p)
+    images = np.stack([f[0] for f in frames])
+    disps = np.stack([f[1] for f in frames])
+    outs = vo.add_frames(images, disps)
+    kf = np.asarray(outs.is_keyframe)
+    assert kf.any(), "should keyframe with 2.2cm/frame and 5cm threshold"
+    # after a keyframe, estimation still tracks the constant step
+    T_step = np.asarray(se3.exp(jnp.asarray(step, jnp.float32)))
+    for pose in np.asarray(outs.pose):
+        err = np.asarray(se3.log(jnp.asarray(
+            pose @ np.linalg.inv(T_step), jnp.float32)))
+        assert np.abs(err[3:]).max() < 4e-3, err
+
+
+def test_trajectory_accumulation_matches_gt():
+    step = [0, 0, 0, 0.004, 0, 0.008]
+    n = 6
+    frames = make_sequence(step, n)
+    cam = make_cam()
+    vo = DeviceVO(np.asarray(cam.K()), float(cam.baseline), (H_IMG, W_IMG),
+                  make_params())
+    images = np.stack([f[0] for f in frames])
+    disps = np.stack([f[1] for f in frames])
+    outs = vo.add_frames(images, disps)
+    T_step = np.asarray(se3.exp(jnp.asarray(step, jnp.float32)))
+    expect = np.linalg.inv(np.linalg.matrix_power(T_step, n - 1))
+    final = np.asarray(outs.pose_world)[-1]
+    err = np.asarray(se3.log(jnp.asarray(
+        final @ np.linalg.inv(expect), jnp.float32)))
+    assert np.abs(err).max() < 8e-3, err
