@@ -50,18 +50,29 @@ def _expand(path: str) -> str:
 
 
 class FileSequence:
-    """printf-style file sequence enumeration (reference utils/file_loader.h:12-42)."""
+    """printf-style or glob file-sequence enumeration (reference
+    utils/file_loader.h:12-42 + utils/glob.{h,cc}).
+
+    A format containing ``%`` is treated printf-style (lazy, unbounded); one
+    containing ``*``/``?`` is globbed eagerly and sorted."""
 
     def __init__(self, root_dir: str, fmt: str, first_frame: int = 0):
         self._root = _expand(root_dir)
         self._fmt = fmt
         self._first = first_frame
+        self._globbed = None
+        if "%" not in fmt and any(ch in fmt for ch in "*?["):
+            import glob as _glob
+            self._globbed = sorted(
+                _glob.glob(os.path.join(self._root, fmt)))[first_frame:]
 
     def __getitem__(self, i: int) -> str:
+        if self._globbed is not None:
+            return self._globbed[i] if i < len(self._globbed) else ""
         return os.path.join(self._root, self._fmt % (self._first + i))
 
     def exists(self, i: int) -> bool:
-        return os.path.exists(self[i])
+        return bool(self[i]) and os.path.exists(self[i])
 
 
 class Dataset:

@@ -1,0 +1,109 @@
+"""Pallas TPU kernel: fused IRLS weighting + normal-equation reduction.
+
+Fuses the reference's three separate passes — M-estimator weights
+(mestimator.cc:242-385), the SSE rank-update of the packed upper-triangular
+Hessian (linear_system_builder.cc:140-205) and the weighted residual norm —
+into one streaming kernel: residuals and Jacobians flow HBM -> VMEM once,
+weights are computed on the VPU, and the 6x6 / 6-vector reductions run on the
+MXU per block with a VMEM scratch accumulator across sequential grid steps.
+
+Layout: Jacobians arrive as (6, M) — lanes along the point axis — which is the
+transpose of the template storage; the caller reshapes once per keyframe.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bpvo_tpu.solver.mestimator import HUBER_K, TUKEY_T
+
+_BLOCK = 2048
+
+
+def _weight(u, loss: str):
+    if loss == "Tukey":
+        x = u / TUKEY_T
+        w = (1.0 - x * x)
+        return jnp.where(jnp.abs(u) < TUKEY_T, w * w, 0.0)
+    if loss == "Huber":
+        au = jnp.abs(u)
+        return jnp.where(au < HUBER_K, 1.0, HUBER_K / jnp.maximum(au, 1e-20))
+    return jnp.ones_like(u)
+
+
+def _irls_kernel(sigma_ref, J_ref, r_ref, valid_ref, out_ref, acc_ref, *,
+                 loss: str):
+    k = pl.program_id(0)
+    nk = pl.num_programs(0)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    J = J_ref[:]           # (8, B): rows 0..5 are Jacobian components
+    r = r_ref[:]           # (8, B): row 0 is the residual
+    v = valid_ref[:]       # (8, B): row 0 is the valid mask
+    sigma = sigma_ref[0]
+    w = _weight(r[0] / sigma, loss) * v[0]          # (B,)
+    Jw = J * w[None, :]
+    # 8x8 block: [0:6,0:6] = J^T W J, column 6 = J^T W r (via r in row 6)
+    rhs = J.at[6, :].set(r[0]).at[7, :].set(r[0] * r[0])
+    block = jax.lax.dot_general(
+        Jw, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (8, 8)
+    # row 7 of Jw is zero padding; add f = sum(w * r^2) separately
+    f = jnp.sum(w * r[0] * r[0])
+    acc_ref[:8, :8] += block
+    acc_ref[7, 8] += f
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:, :] = acc_ref[:, :]
+
+
+@partial(jax.jit, static_argnames=("loss", "interpret"))
+def irls_reduce(J6, r, valid, sigma, loss: str = "Tukey",
+                interpret: bool = False):
+    """Fused weights + reductions.
+
+    J6: (6, M) Jacobians (transposed template layout), r: (M,) residuals,
+    valid: (M,) bool, sigma: scalar robust scale.
+    Returns (H (6,6), g (6,), f_sq scalar).
+    """
+    M = r.shape[0]
+    block = min(_BLOCK, M)
+    pad = (-M) % block
+    if pad:
+        J6 = jnp.pad(J6, ((0, 0), (0, pad)))
+        r = jnp.pad(r, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    Mp = M + pad
+
+    # pack into 8-row slabs (f32 sublane tile) once
+    J8 = jnp.pad(J6, ((0, 2), (0, 0)))
+    r8 = jnp.broadcast_to(r[None, :], (8, Mp))
+    v8 = jnp.broadcast_to(valid[None, :].astype(jnp.float32), (8, Mp))
+
+    out = pl.pallas_call(
+        partial(_irls_kernel, loss=loss),
+        grid=(Mp // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, block), lambda k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda k: (0, k), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        interpret=interpret,
+    )(jnp.reshape(sigma.astype(jnp.float32), (1,)), J8, r8, v8)
+
+    H = out[:6, :6]
+    g = out[:6, 6]
+    f_sq = out[7, 8]
+    return H, g, f_sq

@@ -64,6 +64,13 @@ def select_pixels(saliency, disparity, capacity: int, *,
     score = jnp.where(ok, saliency, -jnp.inf).reshape(-1)
     vals, idx = jax.lax.top_k(score, capacity)
     valid = vals > -jnp.inf
+    # re-sort the selected pixels into raster order: the per-iteration warped
+    # gathers then hit the image nearly sequentially, which coalesces far
+    # better than saliency order (the reference's scan-order selection had
+    # this property for free, template_data.cc:55-66)
+    order = jnp.argsort(jnp.where(valid, idx, jnp.iinfo(jnp.int32).max))
+    idx = idx[order]
+    valid = valid[order]
     rows = (idx // W).astype(jnp.int32)
     cols = (idx % W).astype(jnp.int32)
     d = disparity.reshape(-1)[idx]

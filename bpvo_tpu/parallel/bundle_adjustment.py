@@ -133,20 +133,18 @@ def _assemble(templates: TemplateData, channels, cam, poses,
     return H, g, f_sq
 
 
-def _global_sigma(abs_r, valid, axis_name=None, bins: int = 5120):
-    """Robust sigma from |r| samples; psum'd histogram when sharded."""
+def _global_sigma(abs_r, valid, axis_name=None, bins: int = 1024):
+    """Robust sigma from |r| samples; psum'd histogram counts when sharded."""
     local_max = jnp.max(jnp.where(valid, abs_r, 0.0))
     if axis_name is not None:
         hi = jnp.maximum(jax.lax.pmax(local_max, axis_name), 1e-12)
     else:
         hi = jnp.maximum(local_max, 1e-12)
-    idx = jnp.floor(jnp.clip(abs_r, 0.0, hi) / hi * (bins - 1)).astype(jnp.int32)
-    hist = jnp.zeros(bins, jnp.int32).at[idx].add(valid.astype(jnp.int32))
+    csum = mestimator.histogram_counts(abs_r, valid, hi, bins)
     if axis_name is not None:
-        hist = jax.lax.psum(hist, axis_name)
-    n = jnp.sum(hist)
-    csum = jnp.cumsum(hist)
-    med = hi * jnp.argmax(csum >= (n + 1) // 2).astype(jnp.float32) / (bins - 1)
+        csum = jax.lax.psum(csum, axis_name)
+    n = csum[-1]
+    med = hi * jnp.argmax(csum >= (n + 1) // 2).astype(jnp.float32) / bins
     nf = n.astype(jnp.float32)
     sigma = 1.4826 * (1.0 + 5.0 / jnp.maximum(nf - 6.0, 1.0)) * med
     return jnp.where(sigma < 1e-6, 1.0, sigma)

@@ -85,17 +85,15 @@ def _linearize_sharded(tdata, channels, cam, T, scale, delta_scale,
     """
     r, valid = td_mod.compute_residuals(tdata, channels, cam, T, opts.interp)
 
-    # --- global robust scale via psum'd histogram ---------------------------
+    # --- global robust scale via psum'd histogram counts --------------------
     r0 = jnp.abs(r[0])
     local_max = jnp.max(jnp.where(valid, r0, 0.0))
     hi = jnp.maximum(jax.lax.pmax(local_max, POINT_AXIS), 1e-12)
-    bins = 5120
-    idx = jnp.floor(jnp.clip(r0, 0.0, hi) / hi * (bins - 1)).astype(jnp.int32)
-    hist = jnp.zeros(bins, jnp.int32).at[idx].add(valid.astype(jnp.int32))
-    hist = jax.lax.psum(hist, POINT_AXIS)
-    n = jnp.sum(hist)
-    csum = jnp.cumsum(hist)
-    med = hi * jnp.argmax(csum >= (n + 1) // 2).astype(r0.dtype) / (bins - 1)
+    bins = 1024
+    csum = mestimator.histogram_counts(r0, valid, hi, bins)
+    csum = jax.lax.psum(csum, POINT_AXIS)
+    n = csum[-1]
+    med = hi * jnp.argmax(csum >= (n + 1) // 2).astype(r0.dtype) / bins
     med = jnp.where(n > 0, med, 0.0)
     nf = n.astype(r0.dtype)
     new_sigma = 1.4826 * (1.0 + 5.0 / jnp.maximum(nf - 6.0, 1.0)) * med

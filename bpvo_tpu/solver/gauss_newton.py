@@ -102,12 +102,17 @@ class GNState(NamedTuple):
 
 def _linearize(tdata, channels, cam, T, scale, delta_scale, opts: GNOptions):
     r, valid = td_mod.compute_residuals(tdata, channels, cam, T, opts.interp)
-    # scale re-estimation is skipped once stable (mestimator.cc:467-490).
+    # scale re-estimation is skipped once stable (mestimator.cc:467-490) — via
+    # lax.cond so the median work is actually not executed when stable.
     # Like the reference's getValidResiduals (linear_system_builder.cc:302-315)
     # we estimate sigma from the first channel only — other channels look alike.
-    new_sigma = mestimator.estimate_scale(r[0], valid, opts.use_histogram_median)
     do_est = delta_scale > opts.scale_tolerance
-    sigma = jnp.where(do_est, new_sigma, scale)
+    new_sigma = jax.lax.cond(
+        do_est,
+        lambda op: mestimator.estimate_scale(op[0], op[1],
+                                             opts.use_histogram_median),
+        lambda op: scale, (r[0], valid))
+    sigma = new_sigma
     new_delta = jnp.where(do_est, jnp.abs(new_sigma - scale), delta_scale)
     w = mestimator.compute_weights(opts.loss, r, valid[None, :], sigma)
     H, g, f_sq = linear_system.build(tdata.jacobians, r, w)

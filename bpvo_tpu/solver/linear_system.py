@@ -81,10 +81,14 @@ def solve(H, g, eps: float = 1e-3):
     Hartley normalization (withNormalization) keeps H well-conditioned in f32 —
     that is its whole purpose (template_data.cc:91-92).
     """
-    dp = cholesky_solve_6x6(H, g)
-    ok = jnp.all(jnp.isfinite(dp)) & (
-        jnp.max(jnp.abs(H @ dp - g)) <= 1e-4 * (1.0 + jnp.max(jnp.abs(g))))
-    H_aug = H + eps * jnp.max(jnp.diag(H)) * jnp.eye(6, dtype=H.dtype)
-    dp_aug = cholesky_solve_6x6(H_aug, g)
-    dp_aug = jnp.where(jnp.all(jnp.isfinite(dp_aug)), dp_aug, jnp.zeros_like(dp_aug))
-    return jnp.where(ok, dp, dp_aug), ok | jnp.all(jnp.isfinite(dp_aug))
+    # a single Cholesky on a minutely-regularized H replaces the reference's
+    # try-exact-then-retry dance: the relative jitter (1e-6 of the largest
+    # diagonal) perturbs well-conditioned steps below f32 noise while making
+    # the degenerate case solvable — one solve per GN iteration instead of two
+    H_aug = H + (1e-6 * jnp.max(jnp.diag(H)) + 1e-12) * jnp.eye(6, dtype=H.dtype)
+    dp = cholesky_solve_6x6(H_aug, g)
+    finite = jnp.all(jnp.isfinite(dp))
+    dp = jnp.where(finite, dp, jnp.zeros_like(dp))
+    ok = finite & (jnp.max(jnp.abs(H @ dp - g))
+                   <= 1e-3 * (1.0 + jnp.max(jnp.abs(g))))
+    return dp, ok

@@ -170,26 +170,29 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
 
         def keyframe(op):
             state, channels, disparity, T_est = op
-
-            def from_current(_):
-                # current frame becomes keyframe (vo.cc:166-177)
-                templates = _build_templates(channels, disparity, cams, p,
-                                             capacities)
-                pose = T_est @ _rigid_inverse(state.T_kf)
-                return templates, pose, jnp.eye(4, dtype=jnp.float32), iters, fs
-
-            def from_candidate(_):
-                # candidate becomes keyframe; re-estimate (vo.cc:178-188)
-                templates = _build_templates(
-                    state.prev_channels, state.prev_disparity, cams, p,
-                    capacities)
-                T2, it2, fs2, _frac2, _H2 = _estimate(
-                    templates, channels, cams, jnp.eye(4, dtype=jnp.float32),
-                    opts_per_level, p.maxTestLevel, p.goodPointThreshold)
-                return templates, T2, T2, it2, fs2
-
-            templates, pose, T_kf_new, it_out, fs_out = jax.lax.cond(
-                state.has_prev, from_candidate, from_current, None)
+            has_prev = state.has_prev
+            # keyframe source: the candidate frame when one exists
+            # (vo.cc:178-188), else the current frame (vo.cc:166-177).
+            # Selecting the source first keeps ONE template build + ONE
+            # re-estimate in the trace instead of two of each.
+            src_channels = jax.tree.map(
+                lambda a, b: jnp.where(has_prev, a, b),
+                state.prev_channels, channels)
+            src_disparity = jnp.where(has_prev, state.prev_disparity,
+                                      disparity)
+            templates = _build_templates(src_channels, src_disparity, cams, p,
+                                         capacities)
+            # re-estimation against the new keyframe; when the keyframe IS the
+            # current frame this converges to ~identity in one iteration and
+            # its result is unused
+            T2, it2, fs2, _frac2, _H2 = _estimate(
+                templates, channels, cams, jnp.eye(4, dtype=jnp.float32),
+                opts_per_level, p.maxTestLevel, p.goodPointThreshold)
+            pose = jnp.where(has_prev, T2,
+                             T_est @ _rigid_inverse(state.T_kf))
+            T_kf_new = jnp.where(has_prev, T2, jnp.eye(4, dtype=jnp.float32))
+            it_out = jnp.where(has_prev, it2, iters)
+            fs_out = jnp.where(has_prev, fs2, fs)
             new_state = VOState(
                 templates=templates,
                 prev_channels=channels, prev_disparity=disparity,
