@@ -177,8 +177,10 @@ class TpuBlockMatching(StereoAlgorithm):
 # TPU SGM: census-based matching cost + multi-direction scanline aggregation
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("num_disparities", "p1", "p2"))
-def _sgm(L, R, num_disparities: int, p1: float, p2: float):
+@partial(jax.jit, static_argnames=("num_disparities", "p1", "p2",
+                                   "use_pallas"))
+def _sgm(L, R, num_disparities: int, p1: float, p2: float,
+         use_pallas: bool = False):
     """Semi-global matching over 4 scanline directions.
 
     Cost: hamming distance of 3x3 census codes (like the reference's vendored
@@ -201,6 +203,11 @@ def _sgm(L, R, num_disparities: int, p1: float, p2: float):
         return ham.at[:, :d].set(8.0) if d > 0 else ham
 
     cost = jnp.stack([cost_at(d) for d in range(D)], axis=-1)  # (H, W, D)
+
+    if use_pallas:
+        from bpvo_tpu.ops.pallas import sgm_kernel
+        a = sgm_kernel.aggregate_4dir(cost, p1, p2)
+        return _wta_subpixel(a, D)
 
     def aggregate(cost_seq):
         """cost_seq (T, B, D): scan along T, B = batch of parallel scanlines."""
@@ -225,9 +232,13 @@ def _sgm(L, R, num_disparities: int, p1: float, p2: float):
     # top->bottom and bottom->top (scan over H, batch over W)
     a = a + aggregate(cost)
     a = a + aggregate(cost[::-1])[::-1]
+    return _wta_subpixel(a, D)
 
+
+def _wta_subpixel(a, D: int):
+    """Winner-take-all over the disparity axis + parabolic sub-pixel."""
+    import jax.numpy as jnp
     best = jnp.argmin(a, axis=-1)
-    # sub-pixel parabola
     bm1 = jnp.clip(best - 1, 0, D - 1)
     bp1 = jnp.clip(best + 1, 0, D - 1)
     take = lambda idx: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
@@ -241,21 +252,23 @@ def _sgm(L, R, num_disparities: int, p1: float, p2: float):
 
 class TpuSGM(StereoAlgorithm):
     def __init__(self, cf: ConfigFile = None, num_disparities: int = 128,
-                 p1: float = 1.0, p2: float = 8.0):
+                 p1: float = 1.0, p2: float = 8.0, use_pallas: bool = False):
         if cf is not None:
             num_disparities = cf.get("numberOfDisparities", num_disparities, int)
             # reference SGM penalties are in census-weighted units
             # (stereo_algorithm.cc:50-55); ours are hamming-distance units
             p1 = cf.get("sgmP1", p1, float)
             p2 = cf.get("sgmP2", p2, float)
+            use_pallas = cf.get("sgmUsePallas", use_pallas, bool)
         self._D = num_disparities
         self._p1 = p1
         self._p2 = p2
+        self._use_pallas = use_pallas
 
     def run(self, left, right):
         import jax.numpy as jnp
         d = _sgm(jnp.asarray(left), jnp.asarray(right), self._D, self._p1,
-                 self._p2)
+                 self._p2, self._use_pallas)
         return np.asarray(d)
 
 

@@ -76,13 +76,30 @@ def _gather(channels_flat, idx):
     return jnp.take(channels_flat, idx, axis=1)
 
 
+def _gather_window(channels, yi, xi, size: int):
+    """ONE gather of a (size x size) neighborhood per point.
+
+    channels (C, H, W), yi/xi (N,) int32 top-left corners -> (N, C, size, size).
+    A single windowed gather replaces the 4 (bilinear) / 16 (cubic) independent
+    flat gathers — each gather op costs ~0.4 ms at N=16k on v5e, so this is the
+    single biggest saving in the warped-sampling hot path.
+    """
+    import jax
+    starts = jnp.stack([yi, xi], axis=-1)  # (N, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(1, 2))
+    C = channels.shape[0]
+    return jax.lax.gather(channels, starts, dnums,
+                          slice_sizes=(C, size, size), mode="clip")
+
+
 def sample(channels, u, v, valid, method: InterpolationType = InterpolationType.LINEAR):
     """Sample ``channels`` (C, H, W) at sub-pixel points (u, v) each (N,).
 
     Returns (C, N) float32; entries where ``valid`` is False are 0.
     """
     C, H, W = channels.shape
-    flat = channels.reshape(C, H * W)
 
     xi = jnp.floor(u).astype(jnp.int32)
     yi = jnp.floor(v).astype(jnp.int32)
@@ -93,29 +110,26 @@ def sample(channels, u, v, valid, method: InterpolationType = InterpolationType.
     xi = jnp.clip(xi, lo, W - 1 - hi_x)
     yi = jnp.clip(yi, lo, H - 1 - hi_y)
 
-    def at(dy, dx):
-        return _gather(flat, (yi + dy) * W + (xi + dx))
-
     if method in (InterpolationType.LINEAR, InterpolationType.COSINE):
+        win = _gather_window(channels, yi, xi, 2)  # (N, C, 2, 2)
         cx = _coeffs_linear(xf) if method == InterpolationType.LINEAR else _coeffs_cosine(xf)
         cy = _coeffs_linear(yf) if method == InterpolationType.LINEAR else _coeffs_cosine(yf)
-        row0 = cx[0] * at(0, 0) + cx[1] * at(0, 1)
-        row1 = cx[0] * at(1, 0) + cx[1] * at(1, 1)
-        out = cy[0] * row0 + cy[1] * row1
+        # (N, C): rows combined by cy, columns by cx
+        rows = win[..., 0, :] * cy[0][:, None, None] + \
+            win[..., 1, :] * cy[1][:, None, None]
+        out = (rows[..., 0] * cx[0][:, None] + rows[..., 1] * cx[1][:, None]).T
     elif method == InterpolationType.CUBIC:
-        cx = _coeffs_cubic(xf)
+        win = _gather_window(channels, yi - 1, xi - 1, 4)  # (N, C, 4, 4)
+        cx = _coeffs_cubic(xf)  # (4, N)
         cy = _coeffs_cubic(yf)
-        rows = []
-        for j, dy in enumerate((-1, 0, 1, 2)):
-            r = sum(cx[i] * at(dy, dx) for i, dx in enumerate((-1, 0, 1, 2)))
-            rows.append(cy[j] * r)
-        out = rows[0] + rows[1] + rows[2] + rows[3]
+        cols = jnp.einsum("ncyx,xn->ncy", win, cx)
+        out = jnp.einsum("ncy,yn->nc", cols, cy).T
     elif method == InterpolationType.CUBIC_HERMITE:
-        vals = []
-        for dy in (-1, 0, 1, 2):
-            s = [at(dy, dx) for dx in (-1, 0, 1, 2)]
-            vals.append(_hermite_1d(s[0], s[1], s[2], s[3], xf))
-        out = _hermite_1d(vals[0], vals[1], vals[2], vals[3], yf)
+        win = _gather_window(channels, yi - 1, xi - 1, 4)  # (N, C, 4, 4)
+        xfn = xf[:, None]
+        vals = [_hermite_1d(win[..., j, 0], win[..., j, 1], win[..., j, 2],
+                            win[..., j, 3], xfn) for j in range(4)]  # (N, C)
+        out = _hermite_1d(vals[0], vals[1], vals[2], vals[3], yf[:, None]).T
     else:
         raise ValueError(f"unknown interpolation {method}")
 

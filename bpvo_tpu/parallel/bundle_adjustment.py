@@ -52,6 +52,13 @@ class BAOptions(NamedTuple):
     gauge_prior: float = 1e6     # prior weight pinning keyframe 0
     damping: float = 1e-4        # Levenberg damping on the block diagonal
     edge_radius: int = 1         # connect keyframes within this window distance
+    refine_depth: bool = False   # joint pose + inverse-depth with Schur elim.
+    # depth regularization, both relative to the mean photometric depth
+    # information: damping on the step + an absolute prior anchored to the
+    # stereo-measured inverse depth (tiny inter-keyframe baselines make raw
+    # photometric depth weakly observable)
+    depth_damping: float = 0.1
+    depth_prior: float = 0.3
 
 
 def window_edges(n_keyframes: int, radius: int) -> Tuple[Tuple[int, int], ...]:
@@ -150,30 +157,41 @@ def _global_sigma(abs_r, valid, axis_name=None, bins: int = 1024):
     return jnp.where(sigma < 1e-6, 1.0, sigma)
 
 
+def _solve_pose_system(H, g, opts: BAOptions):
+    """Gauge-fixed, damped solve of the (M,6)x(M,6) pose block system."""
+    M = g.shape[0]
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+    H = H.at[0, :, 0, :].add(opts.gauge_prior * eye6)
+    Hm = H.reshape(M * 6, M * 6)
+    Hm = Hm + opts.damping * jnp.diag(jnp.diag(Hm)) + 1e-6 * jnp.eye(
+        M * 6, dtype=jnp.float32)
+    delta = -jnp.linalg.solve(Hm, g.reshape(M * 6)).reshape(M, 6)
+    delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+    return delta.at[0].set(0.0)  # hard gauge fix on keyframe 0
+
+
 def ba_solve(templates: TemplateData, channels, cam: warp_mod.CameraModel,
              poses_init, opts: BAOptions, axis_name=None):
     """Run windowed BA; returns (poses (M,4,4), final weighted cost).
 
     ``templates`` stacked with leading window axis M (vmap-style); pass the
     point axis pre-sharded and ``axis_name`` set when running under shard_map.
+    With ``opts.refine_depth`` the structure map is delegated to
+    ``ba_solve_with_depth`` (full Schur complement over inverse depths).
     """
+    if opts.refine_depth:
+        poses, templates_out, cost = ba_solve_with_depth(
+            templates, channels, cam, poses_init, opts, axis_name)
+        return poses, cost
+
     M = poses_init.shape[0]
     edges = window_edges(M, opts.edge_radius)
-    eye6 = jnp.eye(6, dtype=jnp.float32)
 
     def iteration(carry, _):
         poses, _prev_cost = carry
         H, g, f_sq = _assemble(templates, channels, cam, poses, edges, opts,
                                axis_name)
-
-        # gauge prior on keyframe 0 + Levenberg damping
-        H = H.at[0, :, 0, :].add(opts.gauge_prior * eye6)
-        Hm = H.reshape(M * 6, M * 6)
-        Hm = Hm + opts.damping * jnp.diag(jnp.diag(Hm)) + 1e-6 * jnp.eye(
-            M * 6, dtype=jnp.float32)
-        delta = -jnp.linalg.solve(Hm, g.reshape(M * 6)).reshape(M, 6)
-        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
-        delta = delta.at[0].set(0.0)  # hard gauge fix on keyframe 0
+        delta = _solve_pose_system(H, g, opts)
         new_poses = jnp.einsum("mij,mjk->mik", poses, se3.exp(delta))
         return (new_poses, f_sq), f_sq
 
@@ -182,6 +200,164 @@ def ba_solve(templates: TemplateData, channels, cam: warp_mod.CameraModel,
                     jnp.asarray(jnp.inf, jnp.float32)),
         None, length=opts.max_iterations)
     return poses, cost
+
+
+def ba_solve_with_depth(templates: TemplateData, channels,
+                        cam: warp_mod.CameraModel, poses_init,
+                        opts: BAOptions, axis_name=None):
+    """Joint pose + inverse-depth windowed BA with per-point Schur elimination.
+
+    The landmark block is diagonal (one inverse depth per template point, the
+    stereo prior fixing the initial value), so the Schur complement
+        Hpp' = Hpp - Hpd Hdd^{-1} Hpd^T
+    reduces to per-keyframe einsums over the (sharded) point axis — the
+    structure MegBA/Distributed-BA exploit at scale (PAPERS.md), here in its
+    photometric inverse-compositional form:
+
+      dr/drho_ik = -s_i Z_ik * (J_i^{v} . X_ik)      (IC chain rule; J_i^{v}
+                    is the translation block of the precomputed Jacobian)
+
+    Returns (poses (M,4,4), refined templates, final cost).
+    """
+    M = poses_init.shape[0]
+    edges = window_edges(M, opts.edge_radius)
+    loss = (LossFunctionType.TUKEY if opts.loss == "Tukey"
+            else LossFunctionType.HUBER)
+    K = templates.points.shape[-2]
+
+    # neighbor sets: for keyframe i, the pose blocks its depths couple to
+    neighbors = [[j for (ii, j) in edges if ii == i] for i in range(M)]
+
+    def iteration(carry, _):
+        poses, points, _prev = carry
+        tds = templates._replace(points=points)
+
+        # ---- pass 1: residuals per edge ---------------------------------
+        edge_data = []
+        for (i, j) in edges:
+            td_i = jax.tree.map(lambda x: x[i], tds)
+            T_rel = poses[j] @ se3.inverse(poses[i])
+            r, valid = td_mod.compute_residuals(td_i, channels[j], cam, T_rel,
+                                                opts.interp)
+            edge_data.append((td_i, r, valid))
+        sigma = _global_sigma(
+            jnp.concatenate([jnp.abs(r[0]) for (_, r, _) in edge_data]),
+            jnp.concatenate([v for (_, _, v) in edge_data]), axis_name)
+
+        Z = tds.points[..., 2]                           # (M, K)
+
+        # ---- pass 2: assemble blocks ------------------------------------
+        Hpp = jnp.zeros((M, 6, M, 6), jnp.float32)
+        gp = jnp.zeros((M, 6), jnp.float32)
+        Hdd = jnp.zeros((M, K), jnp.float32)
+        gd = jnp.zeros((M, K), jnp.float32)
+        # m[i][j] (K, 6): coupling of keyframe i's depths to pose block j
+        m_rows = [{} for _ in range(M)]
+        f_sq = jnp.asarray(0.0, jnp.float32)
+
+        A_cache = []
+        for i in range(M):
+            td_i = jax.tree.map(lambda x: x[i], tds)
+            G = warp_mod.normalization_matrix(td_i.norm_scale,
+                                              td_i.norm_center) @ poses[i]
+            A_cache.append(adjoint_similarity(G, td_i.norm_scale))
+
+        for (i, j), (td_i, r, valid) in zip(edges, edge_data):
+            w = mestimator.compute_weights(loss, r, valid[None, :], sigma)
+            A = A_cache[i]
+            JA = jnp.einsum("ckp,pq->ckq", td_i.jacobians, A)  # (C,K,6)
+            # ---- depth derivative THROUGH the edge's relative pose -------
+            # Scaling a point along its viewing ray leaves its identity-pose
+            # projection fixed; depth is observable only via the edge's
+            # translation (parallax):
+            #   u'(rho) = pi(R dir + rho t)  =>
+            #   dr/drho = [a (t_x Xz' - Xx' t_z) + b (t_y Xz' - Xy' t_z)]
+            #             * Z / Xz'^2
+            # with a = gx fx, b = gy fy recovered from the stored Jacobian's
+            # translation block (J_v = (a/Z, b/Z, .)/s).
+            T_rel = poses[j] @ se3.inverse(poses[i])
+            Xp = td_i.points @ T_rel[:3, :3].T + T_rel[:3, 3]   # (K, 3)
+            t = T_rel[:3, 3]
+            s_i = td_i.norm_scale
+            Zi = td_i.points[:, 2]
+            a = td_i.jacobians[..., 3] * s_i * Zi[None, :]      # (C, K)
+            b = td_i.jacobians[..., 4] * s_i * Zi[None, :]
+            Xpz = jnp.maximum(Xp[:, 2], 1e-6)
+            num = (a * (t[0] * Xp[:, 2] - Xp[:, 0] * t[2])[None, :]
+                   + b * (t[1] * Xp[:, 2] - Xp[:, 1] * t[2])[None, :])
+            d = num * (Zi / (Xpz * Xpz))[None, :]               # (C, K)
+            # pose blocks
+            S = jnp.einsum("ckp,ck,ckq->pq", JA, w, JA)
+            b = jnp.einsum("ckp,ck,ck->p", JA, w, r)
+            Hpp = Hpp.at[j, :, j, :].add(S).at[i, :, i, :].add(S)
+            Hpp = Hpp.at[i, :, j, :].add(-S).at[j, :, i, :].add(-S)
+            gp = gp.at[j].add(b).at[i].add(-b)
+            # depth couplings
+            m = jnp.einsum("ckp,ck,ck->kp", JA, w, d)           # (K, 6)
+            m_rows[i][j] = m_rows[i].get(j, 0.0) + m
+            m_rows[i][i] = m_rows[i].get(i, 0.0) - m
+            Hdd = Hdd.at[i].add(jnp.einsum("ck,ck->k", w, d * d))
+            gd = gd.at[i].add(jnp.einsum("ck,ck,ck->k", w, r, d))
+            f_sq = f_sq + jnp.sum(w * r * r)
+
+        if axis_name is not None:
+            Hpp, gp, f_sq = jax.lax.psum((Hpp, gp, f_sq), axis_name)
+        # NOTE: Hdd/gd/m stay sharded along K — the Schur reduction below
+        # psums the (6,6)/(6,) contractions, never the per-point arrays.
+
+        # stereo prior + relative damping on the depth diagonal
+        vmask = templates.valid.astype(jnp.float32)            # (M, K)
+        n_val = jnp.sum(vmask)
+        h_sum = jnp.sum(Hdd * vmask)
+        if axis_name is not None:
+            n_val, h_sum = jax.lax.psum((n_val, h_sum), axis_name)
+        h_mean = h_sum / jnp.maximum(n_val, 1.0)
+        wp = opts.depth_prior * h_mean
+        rho = 1.0 / jnp.maximum(Z, 1e-6)
+        rho0 = 1.0 / jnp.maximum(templates.points[..., 2], 1e-6)
+        gd = gd + wp * (rho - rho0)
+        Hdd = Hdd + wp + opts.depth_damping * h_mean
+
+        # ---- Schur complement over depths -------------------------------
+        inv_h = 1.0 / jnp.maximum(Hdd, 1e-12)                   # (M, K)
+        for i in range(M):
+            blocks = list(m_rows[i].keys())
+            for a in blocks:
+                Ra = m_rows[i][a]
+                corr_g = jnp.einsum("kp,k->p", Ra, inv_h[i] * gd[i])
+                if axis_name is not None:
+                    corr_g = jax.lax.psum(corr_g, axis_name)
+                gp = gp.at[a].add(-corr_g)
+                for bkey in blocks:
+                    Rb = m_rows[i][bkey]
+                    corr = jnp.einsum("kp,k,kq->pq", Ra, inv_h[i], Rb)
+                    if axis_name is not None:
+                        corr = jax.lax.psum(corr, axis_name)
+                    Hpp = Hpp.at[a, :, bkey, :].add(-corr)
+
+        delta = _solve_pose_system(Hpp, gp, opts)
+
+        # ---- depth back-substitution ------------------------------------
+        new_points = points
+        for i in range(M):
+            coupling = jnp.zeros((K,), jnp.float32)
+            for a, Ra in m_rows[i].items():
+                coupling = coupling + Ra @ delta[a]
+            drho = -inv_h[i] * (gd[i] + coupling)
+            # X <- X / (1 + Z * drho), clamped to prevent depth sign flips
+            scale = jnp.clip(1.0 + Z[i] * drho, 0.8, 1.25)
+            new_points = new_points.at[i].set(
+                points[i] / scale[:, None])
+
+        new_poses = jnp.einsum("mij,mjk->mik", poses, se3.exp(delta))
+        return (new_poses, new_points, f_sq), f_sq
+
+    (poses, points, cost), _ = jax.lax.scan(
+        iteration,
+        (jnp.asarray(poses_init, jnp.float32), templates.points,
+         jnp.asarray(jnp.inf, jnp.float32)),
+        None, length=opts.max_iterations)
+    return poses, templates._replace(points=points), cost
 
 
 def make_sharded_ba(mesh, opts: BAOptions, m_keyframes: int):

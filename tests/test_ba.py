@@ -139,3 +139,70 @@ def test_keyframe_window_host_api(window):
     refined = win.optimize()
     err = pose_errors(refined, poses_gt)
     assert err.max() < 2e-3, err
+
+
+class TestDepthRefinement:
+    def _corrupt_depths(self, templates, scale=0.02, seed=3):
+        r = np.random.default_rng(seed)
+        out = []
+        for td in templates:
+            f = (1.0 + scale * r.standard_normal(td.capacity)).astype(np.float32)
+            out.append(td._replace(points=td.points * f[:, None]))
+        return out
+
+    def test_depth_schur_recovers(self, window):
+        cam, poses_gt, templates, channels = window
+        bad_templates = self._corrupt_depths(templates)
+        poses0 = perturb(poses_gt, scale=0.002)
+        stacked = ba.stack_templates(bad_templates)
+        ch = jnp.stack(channels)
+        opts = ba.BAOptions(max_iterations=8, refine_depth=True)
+
+        poses, refined, cost = jax.jit(
+            lambda t, c, p: ba.ba_solve_with_depth(t, c, cam, p, opts))(
+            stacked, ch, jnp.asarray(np.stack(poses0)))
+
+        err = pose_errors(np.asarray(poses), poses_gt)
+        assert err.max() < 3e-3, err
+
+        # depths should move back toward the ground truth
+        gt_Z = np.stack([np.asarray(t.points)[:, 2] for t in templates])
+        bad_Z = np.stack([np.asarray(t.points)[:, 2] for t in bad_templates])
+        new_Z = np.asarray(refined.points)[..., 2]
+        valid = np.stack([np.asarray(t.valid) for t in templates])
+        err_before = np.abs(bad_Z - gt_Z)[valid].mean()
+        err_after = np.abs(new_Z - gt_Z)[valid].mean()
+        assert err_after < err_before * 0.8, (err_before, err_after)
+
+    def test_depth_refinement_doesnt_hurt_clean_data(self, window):
+        cam, poses_gt, templates, channels = window
+        poses0 = perturb(poses_gt, scale=0.003)
+        stacked = ba.stack_templates(templates)
+        opts = ba.BAOptions(max_iterations=8, refine_depth=True)
+        poses, cost = jax.jit(
+            lambda t, c, p: ba.ba_solve(t, c, cam, p, opts))(
+            stacked, jnp.stack(channels), jnp.asarray(np.stack(poses0)))
+        err = pose_errors(np.asarray(poses), poses_gt)
+        # freeing depths with cm-scale inter-keyframe baselines trades a little
+        # pose accuracy (gauge-like depth/pose coupling); must stay mm-scale
+        assert err.max() < 3.5e-3, err
+
+    def test_sharded_depth_ba_matches_single(self, window):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        cam, poses_gt, templates, channels = window
+        bad_templates = self._corrupt_depths(templates)
+        poses0 = jnp.asarray(np.stack(perturb(poses_gt, scale=0.002)))
+        stacked = ba.stack_templates(bad_templates)
+        ch = jnp.stack(channels)
+        opts = ba.BAOptions(max_iterations=4, refine_depth=True)
+
+        single, _, _ = jax.jit(
+            lambda t, c, p: ba.ba_solve_with_depth(t, c, cam, p, opts))(
+            stacked, ch, poses0)
+
+        mesh = sharded.make_mesh(8)
+        runner = ba.make_sharded_ba(mesh, opts, M)
+        multi, _ = runner(stacked, ch, cam, poses0)
+        np.testing.assert_allclose(np.asarray(multi), np.asarray(single),
+                                   atol=1e-3)
