@@ -403,6 +403,7 @@ class KeyframeWindow:
         self._channels = []
         self._poses = []
         self._runner = None
+        self._runner_m = -1
 
     def __len__(self):
         return len(self._templates)
@@ -438,9 +439,12 @@ class KeyframeWindow:
             new_poses, cost = self._runner(templates, channels, self._cam,
                                            poses)
         else:
-            new_poses, cost = jax.jit(
-                partial(ba_solve, opts=self._opts))(
-                templates, channels, self._cam, poses)
+            if self._runner is None or self._runner_m != M:
+                cam = self._cam
+                self._runner = jax.jit(
+                    lambda t, c, p: ba_solve(t, c, cam, p, self._opts)[:2])
+                self._runner_m = M
+            new_poses, cost = self._runner(templates, channels, poses)
         new_np = np.asarray(new_poses)
         self._poses = [new_np[i] for i in range(M)]
         return new_np

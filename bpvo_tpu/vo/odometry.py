@@ -122,6 +122,8 @@ class VisualOdometry:
         self._cur = _Frame()
         self._prev = _Frame()
 
+        self._ba_window = None  # enabled via enable_bundle_adjustment()
+
     # ------------------------------------------------------------------
     @property
     def params(self) -> AlgorithmParameters:
@@ -137,6 +139,38 @@ class VisualOdometry:
         if not self._ref.has_template:
             return 0
         return int(self._ref.templates[level].num_valid)
+
+    # ------------------------------------------------------------------
+    def enable_bundle_adjustment(self, window_size: int = 8, mesh=None,
+                                 ba_options=None):
+        """Refine the last ``window_size`` keyframe poses with windowed
+        photometric BA after every new keyframe (capability beyond the
+        reference — see bpvo_tpu/parallel/bundle_adjustment.py).  Pass a
+        device mesh to distribute the reductions."""
+        from bpvo_tpu.parallel.bundle_adjustment import (BAOptions,
+                                                         KeyframeWindow)
+        self._ba_window = KeyframeWindow(
+            window_size, self._cams[self._p.maxTestLevel],
+            ba_options or BAOptions(), mesh=mesh)
+        self._kf_world_poses = []
+
+    def refined_keyframe_poses(self):
+        """(N_kf, 4, 4) camera-to-world poses of the keyframes in the current
+        BA window, after the latest optimization."""
+        if self._ba_window is None or len(self._ba_window) == 0:
+            return np.zeros((0, 4, 4))
+        return np.stack([np.linalg.inv(T) for T in self._ba_window._poses])
+
+    def _ba_on_keyframe(self, T_world: np.ndarray):
+        if self._ba_window is None or not self._ref.has_template:
+            return
+        lvl = self._p.maxTestLevel
+        # warp pose of this keyframe: camera-from-world = inv(camera-to-world)
+        self._ba_window.push(self._ref.templates[lvl],
+                             self._ref.channels[lvl],
+                             np.linalg.inv(T_world).astype(np.float32))
+        if len(self._ba_window) >= 2:
+            self._ba_window.optimize()
 
     # ------------------------------------------------------------------
     def add_frame(self, image: np.ndarray, disparity: np.ndarray) -> Result:
@@ -165,6 +199,7 @@ class VisualOdometry:
         is_kf = reason != KeyFramingReason.NO_KEYFRAMING
 
         point_cloud = None
+        used_candidate = False
         if not is_kf:
             # keep cur as a future keyframe candidate (vo.cc:148-153)
             self._prev, self._cur = self._cur, self._prev
@@ -181,6 +216,7 @@ class VisualOdometry:
             else:
                 # previous frame becomes the keyframe and we re-estimate:
                 # the estimate that triggered keyframing is suspect (vo.cc:178-188)
+                used_candidate = True
                 self._prev, self._ref = self._ref, self._prev
                 self._prev.clear()
                 self._ref.set_template(self._cams, p, self._capacities)
@@ -193,6 +229,12 @@ class VisualOdometry:
         self._trajectory.push(pose)
         if point_cloud is not None:
             point_cloud.pose = self._trajectory.back()
+
+        if is_kf and self._ba_window is not None:
+            # world pose of the new keyframe: the current frame's pose, or the
+            # candidate's (one step back) when the candidate became keyframe
+            idx = len(self._trajectory) - (2 if used_candidate else 1)
+            self._ba_on_keyframe(self._trajectory[max(idx, 0)])
 
         return Result(pose=np.asarray(pose),
                       covariance=self._pose_estimator.last_covariance(),

@@ -178,3 +178,23 @@ class TestLevenbergMarquardt:
         err = np.asarray(se3.log(jnp.asarray(
             np.asarray(st.T) @ np.linalg.inv(T_true), jnp.float32)))
         assert np.abs(err).max() < 5e-3, (err, int(st.num_iters))
+
+
+class TestLongSequenceAccuracy:
+    def test_ate_on_synthetic_sequence(self):
+        """Accuracy regression: ATE over a 40-frame varied-motion synthetic
+        sequence must stay sub-centimeter (the role KITTI eval plays for the
+        reference, runnable without data)."""
+        from bpvo_tpu.apps.vo_app import VoApp, VoAppOptions
+        ds = SyntheticPlaneDataset(
+            rows=120, cols=160, n_frames=40,
+            twist_per_frame=(0.0004, 0.0008, 0.0006, 0.003, 0.001, 0.012))
+        p = AlgorithmParameters(minSaliency=2.0, numPyramidLevels=3,
+                                functionTolerance=1e-4,
+                                parameterTolerance=1e-6)
+        app = VoApp(ds, p, VoAppOptions())
+        res = app.run(log_every=0)
+        est = [res.vo.trajectory[i] for i in range(len(res.vo.trajectory))]
+        gt = [ds.gt_world_pose(i) for i in range(40)]
+        ate = kitti_eval.ate_rmse(gt, est)
+        assert ate < 0.01, f"ATE {ate*100:.2f} cm"

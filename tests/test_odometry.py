@@ -145,3 +145,30 @@ def test_covariance_shape(default_params):
     assert results[1].covariance.shape == (6, 6)
     # positive-definite-ish
     assert np.all(np.linalg.eigvalsh(results[1].covariance) > 0)
+
+
+def test_vo_with_bundle_adjustment(default_params):
+    """BA-integrated VO (windowed refinement at keyframes) runs and keeps
+    keyframe poses near ground truth."""
+    from bpvo_tpu.parallel.bundle_adjustment import BAOptions
+    p = default_params.replace(maxFractionOfGoodPointsToKeyFrame=0.0,
+                               minTranslationMagToKeyFrame=0.05)
+    step = [0, 0, 0, 0.0, 0.0, 0.022]
+    frames = make_sequence(step, 10)
+    cam = make_cam()
+    vo = VisualOdometry(np.asarray(cam.K()), float(cam.baseline),
+                        (H_IMG, W_IMG), p)
+    vo.enable_bundle_adjustment(window_size=4,
+                                ba_options=BAOptions(max_iterations=4))
+    results = [vo.add_frame(I, D) for I, D in frames]
+    n_kf = sum(r.is_keyframe for r in results)
+    assert n_kf >= 2
+    refined = vo.refined_keyframe_poses()
+    assert refined.shape[0] >= 2
+    # keyframe world poses must remain consistent with the trajectory scale
+    T_step = np.asarray(se3.exp(jnp.asarray(step, jnp.float32)))
+    # consecutive refined keyframes should be ~k*step apart for some integer k
+    rel = np.linalg.inv(refined[1]) @ refined[0]
+    dist = np.linalg.norm(rel[:3, 3])
+    steps = dist / np.linalg.norm(T_step[:3, 3])
+    assert abs(steps - round(steps)) < 0.15, steps
