@@ -61,17 +61,22 @@ class GNOptions:
     interp: InterpolationType = InterpolationType.LINEAR
     scale_tolerance: float = 1e-6   # AutoScaleEstimator tol (mestimator.h:63)
     use_histogram_median: bool = True
+    # per-iteration table like the reference's kIteration verbosity
+    # (pose_estimator_base.h:231-247), printed from inside the jitted loop
+    verbose: bool = False
 
     @classmethod
     def from_params(cls, p: AlgorithmParameters, coarse: bool) -> "GNOptions":
         """Coarse levels get relaxed tolerances and the smoother Huber loss
         (reference pose_estimator_params.cc:36-47)."""
+        from bpvo_tpu.types import VerbosityType
+        verbose = p.verbosity in (VerbosityType.ITERATION, VerbosityType.DEBUG)
         if not coarse or not p.relaxTolerancesForCoarseLevels:
             return cls(max_iterations=p.maxIterations,
                        function_tolerance=p.functionTolerance,
                        parameter_tolerance=p.parameterTolerance,
                        gradient_tolerance=p.gradientTolerance,
-                       loss=p.lossFunction, interp=p.interp)
+                       loss=p.lossFunction, interp=p.interp, verbose=verbose)
         s = p.coarseToleranceScale
         loss = (p.lossFunction if p.lossFunction == LossFunctionType.L2
                 else LossFunctionType.HUBER)
@@ -79,7 +84,7 @@ class GNOptions:
                    function_tolerance=p.functionTolerance * s,
                    parameter_tolerance=p.parameterTolerance * s,
                    gradient_tolerance=p.gradientTolerance * s,
-                   loss=loss, interp=p.interp)
+                   loss=loss, interp=p.interp, verbose=verbose)
 
 
 class GNState(NamedTuple):
@@ -199,6 +204,11 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
 
         dp, ok = linear_system.solve(H, g)
         do_update = (~conv) & ok
+        if opts.verbose:
+            jax.debug.print(
+                "  it {it}  |F|={f:.6g}  |G|={g:.4g}  |dp|={dp:.4g}  "
+                "sigma={s:.4g}", it=st.num_iters, f=f_new, g=g_norm,
+                dp=jnp.linalg.norm(dp), s=sigma)
         T = jnp.where(do_update, st.T @ warp_mod.params_to_pose(-dp, s, c),
                       st.T)
         return GNState(

@@ -99,7 +99,7 @@ def _build_templates(channels_pyr, disparity, cams, p, capacities):
 
 
 def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
-              max_test_level, good_threshold):
+              max_test_level, good_threshold, min_points: int = 0):
     n_levels = len(channels_pyr)
     T = T_init
     iters = [jnp.asarray(0, jnp.int32)] * n_levels
@@ -108,6 +108,10 @@ def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
     for level in range(n_levels - 1, max_test_level - 1, -1):
         st = gn.run(templates[level], channels_pyr[level], cams[level], T,
                     opts_per_level[level])
+        # minNumPixelsToWork guard (branchless; reference types.h:352-357)
+        enough = templates[level].num_valid >= min_points
+        st = st._replace(T=jnp.where(enough, st.T, T),
+                         num_iters=jnp.where(enough, st.num_iters, 0))
         T = st.T
         iters[level] = st.num_iters
         fs[level] = st.f_norm
@@ -153,7 +157,7 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
 
         T_est, iters, fs, frac, H = _estimate(
             state.templates, channels, cams, state.T_kf, opts_per_level,
-            p.maxTestLevel, p.goodPointThreshold)
+            p.maxTestLevel, p.goodPointThreshold, p.minNumPixelsToWork)
 
         reason = _keyframe_reason(T_est, frac, p)
         is_kf = reason != KF_NONE
@@ -187,7 +191,8 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
             # its result is unused
             T2, it2, fs2, _frac2, _H2 = _estimate(
                 templates, channels, cams, jnp.eye(4, dtype=jnp.float32),
-                opts_per_level, p.maxTestLevel, p.goodPointThreshold)
+                opts_per_level, p.maxTestLevel, p.goodPointThreshold,
+                p.minNumPixelsToWork)
             pose = jnp.where(has_prev, T2,
                              T_est @ _rigid_inverse(state.T_kf))
             T_kf_new = jnp.where(has_prev, T2, jnp.eye(4, dtype=jnp.float32))

@@ -34,15 +34,20 @@ def _run_level(tdata, channels, cam, T, opts):
 
 
 @partial(jax.jit, static_argnames=("opts_per_level", "max_test_level",
-                                   "good_threshold"))
+                                   "good_threshold", "min_points"))
 def _estimate_all(templates: Tuple[TemplateData, ...],
                   channels: Tuple[jnp.ndarray, ...],
                   cams: Tuple[warp_mod.CameraModel, ...],
                   T_init,
                   opts_per_level: Tuple[gn.GNOptions, ...],
                   max_test_level: int,
-                  good_threshold: float):
+                  good_threshold: float,
+                  min_points: int = 0):
     """Full coarse-to-fine estimation as one XLA program.
+
+    Levels with fewer than ``min_points`` valid template points leave the pose
+    untouched (reference minNumPixelsToWork semantics, types.h:352-357) — a
+    branchless select, so degenerate levels cost compute but not correctness.
 
     Returns (T, iters (L,), f_norm (L,), g_norm (L,), status (L,), frac_good,
     H (6,6), finest_weights).
@@ -58,6 +63,9 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
     for level in range(n_levels - 1, max_test_level - 1, -1):
         st = gn.run(templates[level], channels[level], cams[level], T,
                     opts_per_level[level])
+        enough = templates[level].num_valid >= min_points
+        st = st._replace(T=jnp.where(enough, st.T, T),
+                         num_iters=jnp.where(enough, st.num_iters, 0))
         T = st.T
         iters[level] = st.num_iters
         fs[level] = st.f_norm
@@ -98,7 +106,7 @@ class PoseEstimator:
         (T, iters, fs, gs, status, frac, H, w) = _estimate_all(
             tuple(templates), tuple(channels_pyr), tuple(cams),
             jnp.asarray(T_init, jnp.float32), self._opts_for(n_levels),
-            p.maxTestLevel, p.goodPointThreshold)
+            p.maxTestLevel, p.goodPointThreshold, p.minNumPixelsToWork)
 
         self._last_weights = w
         self._last_H = H
