@@ -19,7 +19,7 @@ from bpvo_tpu.data.dataset import Dataset
 from bpvo_tpu.data.loader import DatasetLoaderThread
 from bpvo_tpu.utils import debug
 from bpvo_tpu.vo.odometry import VisualOdometry
-from bpvo_tpu.vo.point_cloud import PointCloud, write_ply
+from bpvo_tpu.vo.point_cloud import write_ply
 
 
 @dataclasses.dataclass

@@ -29,7 +29,7 @@ block Hessian + (M,6) gradient + scale histogram per iteration rides ICI.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import NamedTuple, Sequence, Tuple
 
 import jax

@@ -21,7 +21,7 @@ Keyframe semantics follow vo.cc exactly:
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import NamedTuple, Tuple
 
 import jax

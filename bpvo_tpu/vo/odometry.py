@@ -12,7 +12,7 @@ jitted functions.
 """
 from __future__ import annotations
 
-import math
+
 from functools import partial
 from typing import List, Optional
 

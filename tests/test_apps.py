@@ -198,3 +198,26 @@ class TestLongSequenceAccuracy:
         gt = [ds.gt_world_pose(i) for i in range(40)]
         ate = kitti_eval.ate_rmse(gt, est)
         assert ate < 0.01, f"ATE {ate*100:.2f} cm"
+
+
+class TestTsukubaEval:
+    def test_camera_track_parse(self, tmp_path):
+        from bpvo_tpu.eval import tsukuba_eval
+        f = tmp_path / "camera_track.txt"
+        # two frames: origin and 10cm forward with 5 deg yaw
+        f.write_text("0 0 0 0 0 0\n10 0 5 0 5 0\n")
+        poses = tsukuba_eval.load_camera_track(str(f))
+        assert len(poses) == 2
+        # left camera offset: -5 cm in x
+        np.testing.assert_allclose(poses[0][:3, 3], [-0.05, 0, 0], atol=1e-9)
+        assert abs(poses[1][0, 3] - (0.1 - 0.05 * np.cos(np.radians(5)))) < 1e-3
+
+    def test_evaluate_trajectory(self, tmp_path):
+        from bpvo_tpu.eval import tsukuba_eval
+        f = tmp_path / "camera_track.txt"
+        lines = [f"{i} 0 0 0 0 0" for i in range(10)]
+        f.write_text("\n".join(lines))
+        gt = tsukuba_eval.load_camera_track(str(f))
+        out = tsukuba_eval.evaluate_trajectory(str(f), gt)
+        assert out["ate_rmse_m"] < 1e-12
+        assert out["frames"] == 10
