@@ -63,17 +63,25 @@ def exp(p):
 
 
 def log(T):
-    """SE(3) matrix (..., 4, 4) -> twist (..., 6)."""
+    """SE(3) matrix (..., 4, 4) -> twist (..., 6).
+
+    AD-safe at (and near) the identity: the small-angle branch derives
+    theta^2 from the trace as 2(1-cos) — a smooth function — so jacfwd/jacrev
+    never see the arccos gradient blowup at cos(theta)=1 (jnp.where masks
+    tangents branch-wise, but only if the taken branch's own chain is finite).
+    """
     T = jnp.asarray(T)
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    t2 = theta * theta
+    # smooth theta^2 surrogate for the small branch: theta^2 ~= 2(1 - cos)
+    t2_small = 2.0 * (1.0 - cos_theta)
+    small = t2_small < 1e-8
+    theta = jnp.arccos(jnp.where(small, 0.0, cos_theta))  # exact branch only
+    t2 = jnp.where(small, t2_small, theta * theta)
     # w = theta/(2 sin(theta)) * vee(R - R^T); near 0, -> 0.5 * vee(R - R^T)
-    small = t2 < 1e-8
-    k = jnp.where(small, 0.5 + t2 / 12.0,
+    k = jnp.where(small, 0.5 + t2_small / 12.0,
                   theta / jnp.maximum(2.0 * jnp.sin(theta), _EPS))
     w = k[..., None] * jnp.stack([
         R[..., 2, 1] - R[..., 1, 2],

@@ -172,3 +172,37 @@ def test_vo_with_bundle_adjustment(default_params):
     dist = np.linalg.norm(rel[:3, 3])
     steps = dist / np.linalg.norm(T_step[:3, 3])
     assert abs(steps - round(steps)) < 0.15, steps
+
+
+def test_max_test_level(default_params):
+    """maxTestLevel=1 stops refinement at the half-resolution level
+    (reference vo_pose_estimator.cc:76-90)."""
+    p = default_params.replace(maxTestLevel=1)
+    step = [0, 0, 0, 0.004, 0, 0.008]
+    frames = make_sequence(step, 3)
+    vo, results = run_vo(frames, p)
+    T_step = np.asarray(se3.exp(jnp.asarray(step, jnp.float32)))
+    for res in results[1:]:
+        # stats only for levels >= maxTestLevel
+        assert len(res.optimizer_statistics) == p.numPyramidLevels - 1
+        err = np.asarray(se3.log(jnp.asarray(
+            res.pose @ np.linalg.inv(T_step), jnp.float32)))
+        assert np.abs(err[3:]).max() < 5e-3, err
+
+
+def test_tsukuba_style_config(default_params):
+    """CD5 gradients + CubicHermite interpolation (the reference's
+    conf/tsukuba.cfg combination) work end-to-end."""
+    from bpvo_tpu.types import GradientEstimationType, InterpolationType
+    p = default_params.replace(
+        gradientEstimation=GradientEstimationType.CD5,
+        interp=InterpolationType.CUBIC_HERMITE)
+    step = [0, 0, 0, 0.004, 0, 0.008]
+    frames = make_sequence(step, 3)
+    vo, results = run_vo(frames, p)
+    T_step = np.asarray(se3.exp(jnp.asarray(step, jnp.float32)))
+    for res in results[1:]:
+        err = np.asarray(se3.log(jnp.asarray(
+            res.pose @ np.linalg.inv(T_step), jnp.float32)))
+        assert np.abs(err[3:]).max() < 2e-3, err
+        assert np.abs(err[:3]).max() < 1e-3, err
