@@ -27,12 +27,14 @@ class DatasetLoaderThread:
     """
 
     def __init__(self, dataset: Dataset, buffer_size: int = 16,
-                 start_frame: int = 0, max_frames: Optional[int] = None):
+                 start_frame: int = 0, max_frames: Optional[int] = None,
+                 device_prefetch: bool = False):
         self._dataset = dataset
         self._buffer: "queue.Queue" = queue.Queue(maxsize=buffer_size)
         self._stop = threading.Event()
         self._start_frame = start_frame
         self._max_frames = max_frames
+        self._device_prefetch = device_prefetch
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
@@ -46,6 +48,13 @@ class DatasetLoaderThread:
                 frame = self._dataset.get_frame(i)
             except Exception:
                 frame = None
+            if frame is not None and self._device_prefetch:
+                # overlap the host->device copy with compute: the consumer
+                # receives device arrays ready to use (the loader thread is
+                # otherwise idle while the accelerator works)
+                import jax.numpy as jnp
+                frame.image = jnp.asarray(frame.image, jnp.float32)
+                frame.disparity = jnp.asarray(frame.disparity, jnp.float32)
             # sentinel on end/error (dataset_loader_thread.cc:43-47)
             self._put(frame)
             if frame is None:

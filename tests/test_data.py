@@ -123,3 +123,14 @@ class TestFileSequence:
         assert seq[0].endswith("img_0003.png")
         assert seq[2].endswith("img_0005.png")
         assert not seq.exists(0)
+
+
+class TestDevicePrefetch:
+    def test_loader_yields_device_arrays(self):
+        import jax
+        ds = SyntheticPlaneDataset(rows=48, cols=64, n_frames=3)
+        with DatasetLoaderThread(ds, buffer_size=2,
+                                 device_prefetch=True) as loader:
+            frames = list(loader)
+        assert len(frames) == 3
+        assert all(isinstance(f.image, jax.Array) for f in frames)
