@@ -69,9 +69,15 @@ def synthesize_sequence(n_frames, rows=ROWS, cols=COLS):
 
 
 def main():
-    import jax
+    import os
     from bpvo_tpu import AlgorithmParameters
     from bpvo_tpu.vo.device_vo import DeviceVO
+
+    # "online": one jitted step per frame (2 medium XLA programs — reliable
+    #  compile times on the remote-compile backend).
+    # "scan": whole chunk under lax.scan (1 big program; faster steady-state
+    #  but can hit multi-ten-minute remote compiles).
+    mode = os.environ.get("BPVO_BENCH_MODE", "online")
 
     K, baseline, frames = synthesize_sequence(N_FRAMES)
     p = AlgorithmParameters(
@@ -82,18 +88,30 @@ def main():
     images = np.stack([f[0] for f in frames])
     disps = np.stack([f[1] for f in frames])
 
-    # warmup: compiles init + the scanned chunk program, runs a few frames
-    vo.add_frames(images[:N_WARMUP], disps[:N_WARMUP])
-
-    chunk = images[N_WARMUP:]
-    t0 = time.perf_counter()
-    outs = vo.add_frames(chunk, disps[N_WARMUP:])
-    # force materialization of every output
-    poses = np.asarray(outs.pose_world)
-    dt = time.perf_counter() - t0
+    if mode == "scan":
+        vo.add_frames(images[:N_WARMUP], disps[:N_WARMUP])
+        chunk = images[N_WARMUP:]
+        t0 = time.perf_counter()
+        outs = vo.add_frames(chunk, disps[N_WARMUP:])
+        poses = np.asarray(outs.pose_world)
+        dt = time.perf_counter() - t0
+        n = len(chunk)
+    else:
+        for i in range(N_WARMUP):
+            out = vo.add_frame(images[i], disps[i])
+        if out is not None:
+            np.asarray(out.pose)
+        t0 = time.perf_counter()
+        n = 0
+        poses = None
+        for i in range(N_WARMUP, N_FRAMES):
+            out = vo.add_frame(images[i], disps[i])
+            n += 1
+        poses = np.asarray(out.pose_world)
+        dt = time.perf_counter() - t0
     assert np.all(np.isfinite(poses)), "non-finite trajectory"
 
-    hz = len(chunk) / dt
+    hz = n / dt
     print(json.dumps({
         "metric": "vo_frame_rate_synth_kitti_intensity",
         "value": round(hz, 2),

@@ -129,9 +129,15 @@ def _test_convergence(dp_norm, dp_norm_prev, g_norm, f_norm, f_norm_prev,
     """The three convergence tests (pose_estimator_base.h:258-282)."""
     p_tol = (dp_norm < opts.parameter_tolerance) | (
         dp_norm < opts.parameter_tolerance * (_SQRT_EPS + dp_norm_prev))
+    # the reference's |f - f_prev| < tol test is absolute (pose_estimator_base.h
+    # :269-272); with f ~ 1e2-1e3 that is below float32 rounding on TPU, so a
+    # RELATIVE decrease test is added — without it every level runs to
+    # maxIterations on device
     f_tol = ((f_norm < opts.function_tolerance)
              | (f_norm < opts.function_tolerance * (_SQRT_EPS + f_norm_prev))
-             | (jnp.abs(f_norm - f_norm_prev) < opts.function_tolerance))
+             | (jnp.abs(f_norm - f_norm_prev) < opts.function_tolerance)
+             | (jnp.abs(f_norm - f_norm_prev)
+                < opts.function_tolerance * jnp.maximum(f_norm_prev, 1.0)))
     g_ok = g_norm < g_tol
     status = jnp.where(
         p_tol, STATUS_PARAMETER_TOL,
