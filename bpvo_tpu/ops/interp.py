@@ -18,9 +18,16 @@ out of bounds (its ``yi < rows-1`` check with a ``yi+2`` access).
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from bpvo_tpu.types import InterpolationType
+
+# gather strategy for the warped sampling: "window" = one lax.gather of a
+# 2x2/4x4 neighborhood per point; "flat" = 4/16 independent flat takes.
+# Which lowers faster is backend-dependent; override with BPVO_GATHER.
+GATHER_MODE = os.environ.get("BPVO_GATHER", "window")
 
 
 def border_bounds(method: InterpolationType):
@@ -111,13 +118,22 @@ def sample(channels, u, v, valid, method: InterpolationType = InterpolationType.
     yi = jnp.clip(yi, lo, H - 1 - hi_y)
 
     if method in (InterpolationType.LINEAR, InterpolationType.COSINE):
-        win = _gather_window(channels, yi, xi, 2)  # (N, C, 2, 2)
         cx = _coeffs_linear(xf) if method == InterpolationType.LINEAR else _coeffs_cosine(xf)
         cy = _coeffs_linear(yf) if method == InterpolationType.LINEAR else _coeffs_cosine(yf)
-        # (N, C): rows combined by cy, columns by cx
-        rows = win[..., 0, :] * cy[0][:, None, None] + \
-            win[..., 1, :] * cy[1][:, None, None]
-        out = (rows[..., 0] * cx[0][:, None] + rows[..., 1] * cx[1][:, None]).T
+        if GATHER_MODE == "flat":
+            flat = channels.reshape(C, H * W)
+            def at(dy, dx):
+                return _gather(flat, (yi + dy) * W + (xi + dx))
+            row0 = cx[0] * at(0, 0) + cx[1] * at(0, 1)
+            row1 = cx[0] * at(1, 0) + cx[1] * at(1, 1)
+            out = cy[0] * row0 + cy[1] * row1
+        else:
+            win = _gather_window(channels, yi, xi, 2)  # (N, C, 2, 2)
+            # (N, C): rows combined by cy, columns by cx
+            rows = win[..., 0, :] * cy[0][:, None, None] + \
+                win[..., 1, :] * cy[1][:, None, None]
+            out = (rows[..., 0] * cx[0][:, None]
+                   + rows[..., 1] * cx[1][:, None]).T
     elif method == InterpolationType.CUBIC:
         win = _gather_window(channels, yi - 1, xi - 1, 4)  # (N, C, 4, 4)
         cx = _coeffs_cubic(xf)  # (4, N)
