@@ -161,6 +161,47 @@ class VisualOdometry:
             return np.zeros((0, 4, 4))
         return np.stack([np.linalg.inv(T) for T in self._ba_window._poses])
 
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Checkpoint the VO state (no reference analogue — SURVEY.md §5).
+
+        Templates are a pure function of (image, disparity), so only the raw
+        keyframe/candidate frames plus the scalar state need storing; ``load``
+        rebuilds the device state deterministically."""
+        payload = {
+            "T_kf": self._T_kf,
+            "trajectory": (np.stack(self._trajectory.poses)
+                           if len(self._trajectory) else np.zeros((0, 4, 4))),
+        }
+        if self._ref.image is not None:
+            payload["ref_image"] = np.asarray(self._ref.image)
+            payload["ref_disparity"] = np.asarray(self._ref.disparity)
+        if not self._prev.empty and self._prev.image is not None:
+            payload["prev_image"] = np.asarray(self._prev.image)
+            payload["prev_disparity"] = np.asarray(self._prev.disparity)
+        np.savez_compressed(path, **payload)
+
+    def load(self, path: str) -> None:
+        """Restore state written by ``save`` (same camera/params/size)."""
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        data = np.load(path)
+        p = self._p
+        self._T_kf = data["T_kf"].astype(np.float32)
+        self._trajectory = Trajectory()
+        for T in data["trajectory"]:
+            # re-push raw world poses directly
+            self._trajectory._poses.append(T)
+        if "ref_image" in data:
+            self._ref = _Frame()
+            self._ref.set_data(data["ref_image"], data["ref_disparity"],
+                               p.numPyramidLevels, p)
+            self._ref.set_template(self._cams, p, self._capacities)
+        if "prev_image" in data:
+            self._prev = _Frame()
+            self._prev.set_data(data["prev_image"], data["prev_disparity"],
+                                p.numPyramidLevels, p)
+
     def _ba_on_keyframe(self, T_world: np.ndarray):
         if self._ba_window is None or not self._ref.has_template:
             return

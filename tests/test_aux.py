@@ -102,3 +102,32 @@ class TestTimer:
         s = st.summary()
         assert "a" in s and s["b"] == 2.0
         assert "a" in st.report()
+
+
+class TestHostVOCheckpoint:
+    def test_save_load_resume(self, tmp_path):
+        from bpvo_tpu import AlgorithmParameters, VisualOdometry
+        from test_gn import H_IMG, W_IMG, make_cam
+        from test_odometry import make_sequence
+
+        frames = make_sequence([0, 0, 0, 0.004, 0, 0.008], 4)
+        cam = make_cam()
+        p = AlgorithmParameters(minSaliency=2.0, numPyramidLevels=2,
+                                functionTolerance=1e-4,
+                                parameterTolerance=1e-6)
+        vo = VisualOdometry(np.asarray(cam.K()), float(cam.baseline),
+                            (H_IMG, W_IMG), p)
+        for I, D in frames[:3]:
+            vo.add_frame(I, D)
+        ckpt = str(tmp_path / "vo_state")
+        vo.save(ckpt)
+        res_a = vo.add_frame(*frames[3])
+
+        vo2 = VisualOdometry(np.asarray(cam.K()), float(cam.baseline),
+                             (H_IMG, W_IMG), p)
+        vo2.load(ckpt)
+        assert len(vo2.trajectory) == 3
+        res_b = vo2.add_frame(*frames[3])
+        np.testing.assert_allclose(res_a.pose, res_b.pose, atol=1e-5)
+        np.testing.assert_allclose(vo.trajectory.back(),
+                                   vo2.trajectory.back(), atol=1e-5)
