@@ -285,6 +285,23 @@ class DeviceVO:
             self.state, jnp.asarray(image), jnp.asarray(disparity))
         return out
 
+    def point_cloud(self):
+        """Point cloud of the CURRENT keyframe template (finest level), in
+        keyframe coordinates (cf. reference vo.cc:260-281; the host
+        VisualOdometry attaches clouds per keyframe result — here they are
+        pulled on demand to keep the device loop sync-free)."""
+        from bpvo_tpu.vo.point_cloud import PointCloud
+        if self.state is None:
+            return None
+        td = self.state.templates[self._p.maxTestLevel]
+        valid = np.asarray(td.valid)
+        pts = np.asarray(td.points)[valid].astype(np.float32)
+        inten = np.clip(np.asarray(td.pixels)[0][valid], 0, 255).astype(np.uint8)
+        colors = np.stack([inten, inten, inten,
+                           np.full_like(inten, 255)], axis=1)
+        return PointCloud(points=pts, colors=colors,
+                          weights=np.ones(len(pts), np.float32))
+
     def add_frames(self, images: np.ndarray, disparities: np.ndarray
                    ) -> VOStepOutput:
         """Chunk mode: (N,H,W) arrays -> stacked VOStepOutput, one dispatch."""

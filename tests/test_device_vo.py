@@ -98,3 +98,14 @@ def test_trajectory_accumulation_matches_gt():
     err = np.asarray(se3.log(jnp.asarray(
         final @ np.linalg.inv(expect), jnp.float32)))
     assert np.abs(err).max() < 8e-3, err
+
+
+def test_point_cloud_extraction():
+    frames = make_sequence([0, 0, 0, 0.004, 0, 0.008], 2)
+    cam = make_cam()
+    vo = DeviceVO(np.asarray(cam.K()), float(cam.baseline), (H_IMG, W_IMG),
+                  make_params())
+    vo.add_frame(*frames[0])
+    pc = vo.point_cloud()
+    assert pc is not None and len(pc) > 200
+    assert np.all(pc.points[:, 2] > 0)
