@@ -12,6 +12,19 @@ Public API mirrors the reference's single entry point
 ``VisualOdometry::addFrame(image, disparity) -> Result`` (reference bpvo/vo.h:31-105).
 """
 
+import os as _os
+
+# TPU's default matmul precision runs f32 contractions as bf16-multiply
+# passes; the resulting ~1e-3 relative noise in pose compositions, image
+# convolutions, and the GN normal equations wrecks convergence (measured 141
+# GN iterations/frame vs ~20 with full f32).  Everything here is latency-bound
+# 6-dof estimation, not throughput-bound training — default to full f32.
+# Override with BPVO_MATMUL_PRECISION=default to opt out.
+_prec = _os.environ.get("BPVO_MATMUL_PRECISION", "float32")
+if _prec != "default":
+    import jax as _jax
+    _jax.config.update("jax_default_matmul_precision", _prec)
+
 from bpvo_tpu.config import AlgorithmParameters, ConfigFile
 from bpvo_tpu.types import (
     DescriptorType,
