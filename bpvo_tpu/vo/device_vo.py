@@ -248,8 +248,11 @@ class DeviceVO:
         self._opts = tuple(fine if l == p.maxTestLevel else coarse
                            for l in range(p.numPyramidLevels))
         self._step = make_vo_step(p, self._cams, self._capacities, self._opts)
-        self._step_jit = jax.jit(self._step)
-        self._scan_jit = jax.jit(self._run_chunk)
+        # donate the state pytree: templates/prev_channels are several MB and
+        # pass through unchanged on non-keyframe steps — donation lets XLA
+        # alias them instead of copying every frame
+        self._step_jit = jax.jit(self._step, donate_argnums=0)
+        self._scan_jit = jax.jit(self._run_chunk, donate_argnums=0)
         self._init_jit = jax.jit(self._init_state)
         self.state: VOState = None
 
