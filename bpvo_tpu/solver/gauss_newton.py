@@ -105,8 +105,10 @@ class GNState(NamedTuple):
     solver_ok: jnp.ndarray    # bool
 
 
-def _linearize(tdata, channels, cam, T, scale, delta_scale, opts: GNOptions):
-    r, valid = td_mod.compute_residuals(tdata, channels, cam, T, opts.interp)
+def _linearize(tdata, channels, cam, T, scale, delta_scale, opts: GNOptions,
+               packed=None):
+    r, valid = td_mod.compute_residuals(tdata, channels, cam, T, opts.interp,
+                                        packed=packed)
     # scale re-estimation is skipped once stable (mestimator.cc:467-490) — via
     # lax.cond so the median work is actually not executed when stable.
     # Like the reference's getValidResiduals (linear_system_builder.cc:302-315)
@@ -166,8 +168,14 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
     T0 = jnp.asarray(T_init, f32)
     s, c = tdata.norm_scale, tdata.norm_center
     if linearize_fn is None:
+        # channels are constant across iterations: pre-shift them once so each
+        # iteration's warped sampling is a single gather (interp.pack_taps)
+        from bpvo_tpu.ops import interp as interp_mod
+        packed = interp_mod.pack_taps(channels, opts.interp)
+
         def linearize_fn(T, scale, dscale):
-            return _linearize(tdata, channels, cam, T, scale, dscale, opts)
+            return _linearize(tdata, channels, cam, T, scale, dscale, opts,
+                              packed=packed)
 
     C, K = tdata.pixels.shape
     init = GNState(

@@ -121,7 +121,7 @@ def set_data(channels, disparity, cam: warp_mod.CameraModel,
 
 
 def compute_residuals(tdata: TemplateData, channels, cam: warp_mod.CameraModel,
-                      T, method: InterpolationType):
+                      T, method: InterpolationType, packed=None):
     """Photometric residuals r = I1(warp(x)) - I0(x) for all channels.
 
     Counterpart of ``TemplateData::computeResiduals`` + ``PhotoError::init/run``
@@ -129,11 +129,21 @@ def compute_residuals(tdata: TemplateData, channels, cam: warp_mod.CameraModel,
     project all K points by T, mask out-of-view points, sample every channel at
     the warped location, subtract template pixels.
 
+    ``packed`` (an ``interp.PackedTaps`` built from the same channels) switches
+    to the one-gather sampling path — callers that evaluate many poses against
+    fixed channels (the GN loop) build it once outside the loop.
+
     Returns (r (C, K), valid (K,)) with invalid entries zeroed.
     """
-    C, H, W = channels.shape
+    if packed is not None:
+        H, W = packed.H, packed.W
+    else:
+        _, H, W = channels.shape
     u, v, Z = warp_mod.project(cam, T, tdata.points)
     ok = tdata.valid & (Z > 1e-6) & interp.valid_mask(u, v, H, W, method)
-    I1 = interp.sample(channels, u, v, ok, method)
+    if packed is not None:
+        I1 = interp.sample_packed(packed, u, v, ok, method)
+    else:
+        I1 = interp.sample(channels, u, v, ok, method)
     r = (I1 - tdata.pixels) * ok[None, :]
     return r, ok

@@ -95,10 +95,22 @@ def main():
                       f"5 iters {ms:.2f} ms -> {(ms-base)/4:.2f} ms/iter "
                       f"(cap={templates[level].points.shape[0]})")
 
-    # stage 5: full jitted step (the real per-frame program)
-    ms = timeit(lambda: vo._step_jit(state, img, dsp),
-                lambda r: np.asarray(r[1].pose))
-    print(f"full fused step: {ms:.2f} ms")
+    # stage 5: full jitted step (the real per-frame program).  The state is
+    # donated, so thread it through and time a run of steps against a
+    # repeating frame pair (one forces keyframes, one does not).
+    def run_steps(n, img_seq):
+        nonlocal state
+        for k in range(n):
+            state, out = vo._step_jit(state, img_seq[k % len(img_seq)], dsp)
+        return out
+
+    imgs_dev = [jnp.asarray(images[i], jnp.float32) for i in range(1, 5)]
+    run_steps(3, imgs_dev)
+    np.asarray(run_steps(1, imgs_dev).pose)
+    t0 = time.perf_counter()
+    out = run_steps(20, imgs_dev)
+    np.asarray(out.pose)
+    print(f"full fused step (mixed kf): {(time.perf_counter()-t0)/20*1e3:.2f} ms")
 
 
 if __name__ == "__main__":

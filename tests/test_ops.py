@@ -130,6 +130,21 @@ class TestInterp:
         out = np.asarray(interp.sample(ch, u, v, valid, InterpolationType.LINEAR))
         np.testing.assert_allclose(out[0], [0.0, 1.0, 0.0])
 
+    @pytest.mark.parametrize("method", list(InterpolationType))
+    @pytest.mark.parametrize("C", [1, 3])
+    def test_packed_matches_sample(self, method, C):
+        """The one-gather packed path must equal the reference sampler,
+        including clamped out-of-range points."""
+        rng = np.random.default_rng(3)
+        ch = jnp.asarray(rng.random((C, 24, 31)).astype(np.float32) * 255)
+        u = jnp.asarray(rng.uniform(-2, 33, 200).astype(np.float32))
+        v = jnp.asarray(rng.uniform(-2, 26, 200).astype(np.float32))
+        valid = interp.valid_mask(u, v, 24, 31, method)
+        want = np.asarray(interp.sample(ch, u, v, valid, method))
+        packed = interp.pack_taps(ch, method)
+        got = np.asarray(interp.sample_packed(packed, u, v, valid, method))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
 
 class TestDescriptors:
     def test_channel_counts(self):
