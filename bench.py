@@ -100,13 +100,17 @@ def main():
         np.stack([f[1] for f in frames]), jnp.float32))
 
     if mode == "scan":
-        vo.add_frames(images[:N_WARMUP], disps[:N_WARMUP])
-        chunk = images[N_WARMUP:]
+        # warmup chunk must have the SAME length as the timed chunk or the
+        # timed region pays a fresh XLA compile (scan length is a static shape)
+        half = (N_FRAMES - 1) // 2
+        vo.add_frames(images[:half + 1], disps[:half + 1])  # init + half steps
+        np.asarray(vo.state.pose_world)
         t0 = time.perf_counter()
-        outs = vo.add_frames(chunk, disps[N_WARMUP:])
+        outs = vo.add_frames(images[half + 1:half + 1 + half],
+                             disps[half + 1:half + 1 + half])
         poses = np.asarray(outs.pose_world)
         dt = time.perf_counter() - t0
-        n = len(chunk)
+        n = half
     else:
         for i in range(N_WARMUP):
             out = vo.add_frame(images[i], disps[i])

@@ -162,12 +162,45 @@ def imsmooth(I, sigma: float, ksize: int = 0):
 _PYR_KERNEL = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
 
 
+@functools.lru_cache(maxsize=None)
+def _filter_decimate_matrix(n: int, stride: int, kernel: tuple) -> np.ndarray:
+    """Banded (ceil(n/stride), n) matrix: filter (reflect-101 borders) fused
+    with stride-``stride`` decimation.  Applying it per axis as a matmul runs
+    the whole pyramid stage on the MXU — XLA lowers strided slices like
+    ``I[::2, ::2]`` to gathers that measure ~1 ms/frame on v5e, while these
+    two small matmuls are microseconds."""
+    m = -(-n // stride)
+    M = np.zeros((m, n), np.float32)
+    k = np.asarray(kernel, np.float64)
+    r = len(k) // 2
+    for i in range(m):
+        c = stride * i
+        for j, kv in enumerate(k):
+            idx = c + j - r
+            if idx < 0:
+                idx = -idx                    # reflect-101
+            if idx >= n:
+                idx = 2 * (n - 1) - idx
+            M[i, idx] += kv
+    return M
+
+
+def _matmul_decimate(I, stride: int, kernel: tuple):
+    H, W = I.shape[-2], I.shape[-1]
+    My = jnp.asarray(_filter_decimate_matrix(H, stride, kernel))
+    Mx = jnp.asarray(_filter_decimate_matrix(W, stride, kernel))
+    # (m_h, H) @ (..., H, W) @ (W, m_w)
+    out = jnp.einsum("rh,...hw->...rw", My, I,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("...rw,cw->...rc", out, Mx,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def pyr_down(I):
     """Gaussian 5-tap blur + 2x decimation, matching ``cv::pyrDown`` semantics
     (used by reference image_pyramid.cc:43-50). Output size = ceil(dim/2)."""
-    out = _sep_conv2d(I, _PYR_KERNEL, _PYR_KERNEL)
-    return out[..., ::2, ::2]
+    return _matmul_decimate(I, 2, tuple(_PYR_KERNEL.tolist()))
 
 
 def disparity_at_level(D, level: int):
@@ -175,4 +208,6 @@ def disparity_at_level(D, level: int):
     (reference ``DisparityPyramidLevel``, imgproc.h:69-89): the disparity value
     at level-l pixel (x, y) is D[y << l, x << l], in full-res pixel units."""
     s = 1 << level
-    return D[..., ::s, ::s]
+    if s == 1:
+        return D
+    return _matmul_decimate(D, s, (1.0,))
