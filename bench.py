@@ -98,6 +98,11 @@ def main():
         np.stack([f[0] for f in frames]), jnp.float32))
     disps = jax.device_put(jnp.asarray(
         np.stack([f[1] for f in frames]), jnp.float32))
+    # Per-frame device arrays for online mode: indexing the stacked array
+    # inside the loop would launch one extra slice dispatch per frame (~1.7 ms
+    # on this backend — comparable to the whole VO step).
+    frame_list = [(jax.device_put(images[i]), jax.device_put(disps[i]))
+                  for i in range(N_FRAMES)]
 
     if mode == "scan":
         # warmup chunk must have the SAME length as the timed chunk or the
@@ -113,14 +118,14 @@ def main():
         n = half
     else:
         for i in range(N_WARMUP):
-            out = vo.add_frame(images[i], disps[i])
+            out = vo.add_frame(*frame_list[i])
         if out is not None:
             np.asarray(out.pose)
         t0 = time.perf_counter()
         n = 0
         poses = None
         for i in range(N_WARMUP, N_FRAMES):
-            out = vo.add_frame(images[i], disps[i])
+            out = vo.add_frame(*frame_list[i])
             n += 1
         poses = np.asarray(out.pose_world)
         dt = time.perf_counter() - t0
