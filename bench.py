@@ -18,8 +18,9 @@ BASELINE_HZ = 100.0  # reference vo_perf claim (README.md:72)
 
 # KITTI image size (seq 00)
 ROWS, COLS = 376, 1241
-N_FRAMES = 30
-N_WARMUP = 5
+N_FRAMES = 200      # 1 init + 3 chunks of CHUNK (warmup x2 + timed)
+CHUNK = 60          # scan-mode chunk: amortizes the ~40 ms per-call tunnel RTT
+N_WARMUP = 5        # online-mode warmup frames
 
 
 def synthesize_sequence(n_frames, rows=ROWS, cols=COLS):
@@ -73,13 +74,14 @@ def main():
     from bpvo_tpu import AlgorithmParameters
     from bpvo_tpu.vo.device_vo import DeviceVO
 
-    # "online": one jitted step per frame (2 medium XLA programs — reliable
-    #  compile times on the remote-compile backend).
-    # "scan": whole chunk under lax.scan (1 big program; faster steady-state
-    #  but can hit multi-ten-minute remote compiles).
-    mode = os.environ.get("BPVO_BENCH_MODE", "online")
+    # "scan" (default): CHUNK frames per lax.scan dispatch — amortizes the
+    #  per-dispatch RTT of the tunneled backend; measures device throughput.
+    # "online": one jitted step per frame — the low-latency deployment mode;
+    #  on this backend it is dispatch-RTT-bound, not compute-bound.
+    mode = os.environ.get("BPVO_BENCH_MODE", "scan")
 
-    K, baseline, frames = synthesize_sequence(N_FRAMES)
+    n_frames = N_FRAMES if mode == "scan" else 30
+    K, baseline, frames = synthesize_sequence(n_frames)
     p = AlgorithmParameters(
         minSaliency=2.0, numPyramidLevels=4,
         functionTolerance=1e-4, parameterTolerance=1e-6, maxIterations=50)
@@ -98,25 +100,27 @@ def main():
         np.stack([f[0] for f in frames]), jnp.float32))
     disps = jax.device_put(jnp.asarray(
         np.stack([f[1] for f in frames]), jnp.float32))
-    # Per-frame device arrays for online mode: indexing the stacked array
-    # inside the loop would launch one extra slice dispatch per frame (~1.7 ms
-    # on this backend — comparable to the whole VO step).
-    frame_list = [(jax.device_put(images[i]), jax.device_put(disps[i]))
-                  for i in range(N_FRAMES)]
-
     if mode == "scan":
-        # warmup chunk must have the SAME length as the timed chunk or the
-        # timed region pays a fresh XLA compile (scan length is a static shape)
-        half = (N_FRAMES - 1) // 2
-        vo.add_frames(images[:half + 1], disps[:half + 1])  # init + half steps
+        # Two warmup chunks of the SAME length as the timed chunk: the first
+        # pays the XLA compile, the second settles donated-buffer aliasing
+        # (the first donated call can trigger a one-off ~0.5 s relayout).
+        c = CHUNK
+        vo.add_frames(images[:c + 1], disps[:c + 1])       # init + c steps
+        np.asarray(vo.state.pose_world)
+        vo.add_frames(images[c + 1:2 * c + 1], disps[c + 1:2 * c + 1])
         np.asarray(vo.state.pose_world)
         t0 = time.perf_counter()
-        outs = vo.add_frames(images[half + 1:half + 1 + half],
-                             disps[half + 1:half + 1 + half])
+        outs = vo.add_frames(images[2 * c + 1:3 * c + 1],
+                             disps[2 * c + 1:3 * c + 1])
         poses = np.asarray(outs.pose_world)
         dt = time.perf_counter() - t0
-        n = half
+        n = c
     else:
+        # Per-frame device arrays: indexing the stacked array inside the loop
+        # would launch one extra slice dispatch per frame (~1.7 ms on this
+        # backend — comparable to the whole VO step).
+        frame_list = [(jax.device_put(images[i]), jax.device_put(disps[i]))
+                      for i in range(n_frames)]
         for i in range(N_WARMUP):
             out = vo.add_frame(*frame_list[i])
         if out is not None:
@@ -124,7 +128,7 @@ def main():
         t0 = time.perf_counter()
         n = 0
         poses = None
-        for i in range(N_WARMUP, N_FRAMES):
+        for i in range(N_WARMUP, n_frames):
             out = vo.add_frame(*frame_list[i])
             n += 1
         poses = np.asarray(out.pose_world)
