@@ -148,6 +148,12 @@ class AlgorithmParameters:
     coarseToleranceScale: float = 10.0
     # Number of devices to shard template points over (1 = single chip).
     numShards: int = 1
+    # Constant-velocity motion model: warm-start each frame's GN at
+    # T_delta_prev @ T_kf instead of T_kf.  The optimum is unchanged (same
+    # convergence tests on the same objective); fewer iterations are needed
+    # when motion is roughly smooth.  The reference always starts at T_kf
+    # (vo.cc:144-146).
+    withMotionModel: bool = True
 
     def replace(self, **kw) -> "AlgorithmParameters":
         return dataclasses.replace(self, **kw)
@@ -213,6 +219,7 @@ class AlgorithmParameters:
             coarseToleranceScale=cf.get(
                 "coarseToleranceScale", d.coarseToleranceScale, float),
             numShards=cf.get("numShards", d.numShards, int),
+            withMotionModel=cf.get("withMotionModel", d.withMotionModel, bool),
         )
 
     def num_pyramid_levels_for(self, rows: int, cols: int) -> int:

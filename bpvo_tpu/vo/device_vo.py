@@ -56,6 +56,8 @@ class VOState(NamedTuple):
     has_prev: jnp.ndarray                    # () bool
     T_kf: jnp.ndarray                        # (4,4) initialization accumulator
     pose_world: jnp.ndarray                  # (4,4) camera-to-world trajectory
+    T_delta: jnp.ndarray                     # (4,4) last inter-frame motion
+                                             # (constant-velocity warm start)
 
 
 class VOStepOutput(NamedTuple):
@@ -155,8 +157,13 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
         channels = _compute_channels_pyr(image.astype(jnp.float32), p, n_levels)
         disparity = disparity.astype(jnp.float32)
 
+        # constant-velocity warm start: predict this frame at
+        # T_delta_prev @ T_kf (X_cur = T_delta X_prev = T_delta T_kf X_kf);
+        # the GN optimum is unchanged, only the iteration count drops
+        T_init = (state.T_delta @ state.T_kf if p.withMotionModel
+                  else state.T_kf)
         T_est, iters, fs, frac, H = _estimate(
-            state.templates, channels, cams, state.T_kf, opts_per_level,
+            state.templates, channels, cams, T_init, opts_per_level,
             p.maxTestLevel, p.goodPointThreshold, p.minNumPixelsToWork)
 
         reason = _keyframe_reason(T_est, frac, p)
@@ -169,7 +176,7 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
                 templates=state.templates,
                 prev_channels=channels, prev_disparity=disparity,
                 has_prev=jnp.asarray(True),
-                T_kf=T_est, pose_world=state.pose_world)
+                T_kf=T_est, pose_world=state.pose_world, T_delta=pose)
             return new_state, pose, iters, fs
 
         def keyframe(op):
@@ -188,9 +195,12 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
                                          capacities)
             # re-estimation against the new keyframe; when the keyframe IS the
             # current frame this converges to ~identity in one iteration and
-            # its result is unused
+            # its result is unused.  The candidate is the previous frame, so
+            # the motion model's prediction for candidate->current is T_delta.
+            T2_init = (state.T_delta if p.withMotionModel
+                       else jnp.eye(4, dtype=jnp.float32))
             T2, it2, fs2, _frac2, _H2 = _estimate(
-                templates, channels, cams, jnp.eye(4, dtype=jnp.float32),
+                templates, channels, cams, T2_init,
                 opts_per_level, p.maxTestLevel, p.goodPointThreshold,
                 p.minNumPixelsToWork)
             pose = jnp.where(has_prev, T2,
@@ -202,7 +212,7 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
                 templates=templates,
                 prev_channels=channels, prev_disparity=disparity,
                 has_prev=jnp.asarray(False),
-                T_kf=T_kf_new, pose_world=state.pose_world)
+                T_kf=T_kf_new, pose_world=state.pose_world, T_delta=pose)
             return new_state, pose, it_out, fs_out
 
         new_state, pose, it_out, fs_out = jax.lax.cond(
@@ -268,7 +278,8 @@ class DeviceVO:
             templates=templates, prev_channels=channels,
             prev_disparity=disparity, has_prev=jnp.asarray(False),
             T_kf=jnp.eye(4, dtype=jnp.float32),
-            pose_world=jnp.eye(4, dtype=jnp.float32))
+            pose_world=jnp.eye(4, dtype=jnp.float32),
+            T_delta=jnp.eye(4, dtype=jnp.float32))
 
     def _run_chunk(self, state, images, disparities):
         return jax.lax.scan(
