@@ -70,15 +70,21 @@ def run_sequences(root: str, out_dir: str, seqs, descriptor="Intensity",
         debug.info("sequence %02d: %d frames -> %s", seq, n, out)
 
 
-def evaluate(gt_dir: str, results_dir: str, seqs):
-    """(reference run_kitti_eval.cc + kitti_eval.cc:238-256)"""
+def evaluate(gt_dir: str, results_dir: str, seqs, plot_prefix: str = ""):
+    """(reference run_kitti_eval.cc + kitti_eval.cc:238-256; with
+    ``plot_prefix`` also writes the devkit _tl/_rl/_ts/_rs plot files per
+    sequence, kitti_eval.cc:152-235)"""
     out = {}
     for seq in seqs:
         gt = os.path.join(gt_dir, f"{seq:02d}.txt")
         est = os.path.join(results_dir, f"{seq:02d}.txt")
         if not (os.path.exists(gt) and os.path.exists(est)):
             continue
-        stats = kitti_eval.evaluate_sequence(gt, est)
+        errors = kitti_eval.calc_sequence_errors(kitti_eval.load_poses(gt),
+                                                 kitti_eval.load_poses(est))
+        stats = kitti_eval.summarize(errors)
+        if plot_prefix:
+            kitti_eval.save_error_plot_data(errors, f"{plot_prefix}_{seq:02d}")
         ate = kitti_eval.ate_rmse(kitti_eval.load_poses(gt),
                                   kitti_eval.load_poses(est))
         out[f"{seq:02d}"] = {
@@ -104,12 +110,15 @@ def main():
     e.add_argument("--gt", required=True)
     e.add_argument("--results", required=True)
     e.add_argument("--seqs", type=int, nargs="*", default=list(range(11)))
+    e.add_argument("--plot-prefix", default="",
+                   help="also write devkit _tl/_rl/_ts/_rs plot-data files")
     args = ap.parse_args()
     if args.cmd == "run":
         run_sequences(args.root, args.out, args.seqs, args.descriptor,
                       args.stereo, args.numframes)
     else:
-        print(json.dumps(evaluate(args.gt, args.results, args.seqs), indent=2))
+        print(json.dumps(evaluate(args.gt, args.results, args.seqs,
+                                  args.plot_prefix), indent=2))
 
 
 if __name__ == "__main__":

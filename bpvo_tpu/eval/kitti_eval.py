@@ -112,6 +112,27 @@ def ate_rmse(poses_gt: Sequence[np.ndarray],
     return float(np.sqrt(np.mean(np.square(diffs))))
 
 
+def save_error_plot_data(errors: List[SegmentError], output_prefix: str) -> None:
+    """Write devkit plot-data files: ``<prefix>_tl/_rl.txt`` (mean t/r error
+    per segment length) and ``<prefix>_ts/_rs.txt`` (per speed bin, 2..24 m/s
+    in steps of 2).  Bins with <= 2 samples are skipped.  Counterpart of the
+    reference's ``SaveErrorPlotData`` (utils/kitti_eval.cc:152-235)."""
+    with open(f"{output_prefix}_tl.txt", "w") as fp_tl, \
+            open(f"{output_prefix}_rl.txt", "w") as fp_rl:
+        for length in LENGTHS:
+            sel = [e for e in errors if abs(e.length - length) < 1.0]
+            if len(sel) > 2:
+                fp_tl.write(f"{length:f} {np.mean([e.t_err for e in sel]):f}\n")
+                fp_rl.write(f"{length:f} {np.mean([e.r_err for e in sel]):f}\n")
+    with open(f"{output_prefix}_ts.txt", "w") as fp_ts, \
+            open(f"{output_prefix}_rs.txt", "w") as fp_rs:
+        for speed in range(2, 25, 2):
+            sel = [e for e in errors if abs(e.speed - speed) < 2.0]
+            if len(sel) > 2:
+                fp_ts.write(f"{speed:d} {np.mean([e.t_err for e in sel]):f}\n")
+                fp_rs.write(f"{speed:d} {np.mean([e.r_err for e in sel]):f}\n")
+
+
 def evaluate_sequence(gt_file: str, est_file: str) -> SequenceStats:
     """(reference RunKittiEvaluation, kitti_eval.cc:238-256, per sequence)"""
     return summarize(calc_sequence_errors(load_poses(gt_file),

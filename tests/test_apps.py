@@ -104,6 +104,24 @@ class TestKittiEval:
         assert len(poses) == 1
         np.testing.assert_allclose(poses[0][:3, 3], [5, 6, 7])
 
+    def test_error_plot_data(self, tmp_path):
+        """Devkit plot files: per-length mean errors, >2-sample bins only
+        (reference SaveErrorPlotData, utils/kitti_eval.cc:152-235)."""
+        gt = self._make_traj(600, 0.5)
+        est = self._make_traj(600, 0.505)
+        errs = kitti_eval.calc_sequence_errors(gt, est)
+        prefix = str(tmp_path / "seq00")
+        kitti_eval.save_error_plot_data(errs, prefix)
+        tl = np.loadtxt(prefix + "_tl.txt")
+        rl = np.loadtxt(prefix + "_rl.txt")
+        assert tl.ndim == 2 and tl.shape[1] == 2 and len(tl) == len(rl)
+        # 1% forward drift -> every length bin reports ~1% translational error
+        assert np.all(np.abs(tl[:, 1] - 0.01) < 2e-3)
+        # 0.5 m / frame at 10 Hz = 5 m/s -> only the speed-4 and speed-6
+        # bins (|speed-s|<2) can have samples
+        ts = np.loadtxt(prefix + "_ts.txt")
+        assert set(np.atleast_2d(ts)[:, 0]).issubset({4.0, 6.0})
+
 
 class TestVoApp:
     def test_runs_and_writes(self, tmp_path):
