@@ -63,6 +63,21 @@ def test_reference_configs_parse():
     assert n > 0
 
 
+def test_repo_configs_parse():
+    """Every shipped conf/*.cfg parses and names a known dataset type."""
+    conf_dir = os.path.join(os.path.dirname(__file__), "..", "conf")
+    known = {"kitti", "tsukuba_synthetic", "tsukuba_stereo", "tunnel",
+             "synthetic"}
+    n = 0
+    for name in sorted(os.listdir(conf_dir)):
+        if name.endswith(".cfg"):
+            path = os.path.join(conf_dir, name)
+            AlgorithmParameters.from_config_file(path)
+            assert ConfigFile(path).get("Dataset", "", str).lower() in known
+            n += 1
+    assert n >= 9
+
+
 def test_auto_pyramid_levels():
     p = AlgorithmParameters()
     # 480x640: 1 + round(log2(480/40)) = 1 + round(3.58) = 5
