@@ -80,13 +80,13 @@ def evaluate(gt_dir: str, results_dir: str, seqs, plot_prefix: str = ""):
         est = os.path.join(results_dir, f"{seq:02d}.txt")
         if not (os.path.exists(gt) and os.path.exists(est)):
             continue
-        errors = kitti_eval.calc_sequence_errors(kitti_eval.load_poses(gt),
-                                                 kitti_eval.load_poses(est))
+        gt_poses = kitti_eval.load_poses(gt)
+        est_poses = kitti_eval.load_poses(est)
+        errors = kitti_eval.calc_sequence_errors(gt_poses, est_poses)
         stats = kitti_eval.summarize(errors)
         if plot_prefix:
             kitti_eval.save_error_plot_data(errors, f"{plot_prefix}_{seq:02d}")
-        ate = kitti_eval.ate_rmse(kitti_eval.load_poses(gt),
-                                  kitti_eval.load_poses(est))
+        ate = kitti_eval.ate_rmse(gt_poses, est_poses)
         out[f"{seq:02d}"] = {
             "t_err_percent": stats.t_err_percent,
             "r_err_deg_per_m": stats.r_err_deg_per_m,

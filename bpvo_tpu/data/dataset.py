@@ -204,4 +204,30 @@ def create_dataset(conf) -> Dataset:
     if name == "synthetic":
         from bpvo_tpu.data.synthetic import SyntheticPlaneDataset
         return SyntheticPlaneDataset.from_config(cf)
+    if name == "synthetic_corridor":
+        from bpvo_tpu.data.synthetic import SyntheticCorridorDataset
+        return SyntheticCorridorDataset.from_config(cf)
+    if name == "disparity":
+        # generic precomputed-disparity sequence (reference DisparityDataset,
+        # dataset.cc:39-92): LeftImageFormat/DisparityMapFormat printf
+        # patterns + CalibrationFile (fx fy cx cy baseline) or inline keys
+        from bpvo_tpu.data.tunnel import load_calibration_file
+        root = _expand(cf.get("DataSetRootDirectory", "", str))
+        calib_fn = cf.get("CalibrationFile", "", str)
+        if calib_fn:
+            calib = load_calibration_file(calib_fn)
+        else:
+            fx = cf.get("fx", 0.0, float)
+            K = np.array([[fx, 0, cf.get("cx", 0.0, float)],
+                          [0, cf.get("fy", fx, float), cf.get("cy", 0.0, float)],
+                          [0, 0, 1]], np.float32)
+            calib = StereoCalibration(K=K, baseline=cf.get("baseline", 0.0,
+                                                           float))
+        return DisparityDataset(
+            FileSequence(root, cf.get("LeftImageFormat", "left/%06d.png", str),
+                         cf.get("FirstFrameNumber", 0, int)),
+            FileSequence(root, cf.get("DisparityMapFormat", "disp/%06d.pfm",
+                                      str),
+                         cf.get("FirstFrameNumber", 0, int)),
+            calib, disparity_scale=cf.get("DisparityScale", 1.0 / 16.0, float))
     raise ValueError(f"unknown dataset {name!r}")

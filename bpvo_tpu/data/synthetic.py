@@ -90,3 +90,184 @@ class SyntheticPlaneDataset(Dataset):
     @property
     def name(self):
         return "synthetic-plane"
+
+
+class SyntheticCorridorDataset(Dataset):
+    """Non-planar textured scene (rectangular corridor: two walls + floor +
+    ceiling + far wall) rendered exactly by per-pixel ray casting, observed
+    under a rotation-heavy trajectory (forward motion + sinusoidal yaw/roll).
+
+    Harder than :class:`SyntheticPlaneDataset` in exactly the ways the
+    reference's real sequences are harder than a plane: multiple depth layers,
+    depth discontinuities at the wall/floor seams, and dominant rotation.
+    The corridor interior is convex, so taking the nearest positive plane
+    intersection renders occlusion correctly.
+    """
+
+    def __init__(self, rows: int = 240, cols: int = 320, n_frames: int = 100,
+                 fx: float = 0.0, baseline: float = 0.12,
+                 half_width: float = 2.0, half_height: float = 1.5,
+                 far_z: float = 30.0, speed: float = 0.05,
+                 yaw_amp_deg: float = 0.8, roll_amp_deg: float = 0.25):
+        from bpvo_tpu.core import se3
+        import jax.numpy as jnp
+        self._rows, self._cols = rows, cols
+        fx = fx or 0.8 * cols
+        self._K = np.array([[fx, 0, cols / 2.0], [0, fx, rows / 2.0],
+                            [0, 0, 1]], np.float64)
+        self._baseline = baseline
+        self._n = n_frames
+        # planes in frame-0 camera coords as n . X = d with the camera inside
+        # (x right, y down, z forward): left/right walls, floor, ceiling, far wall
+        self._planes = [
+            (np.array([1.0, 0.0, 0.0]), half_width),    # right wall  x = +w
+            (np.array([-1.0, 0.0, 0.0]), half_width),   # left wall   x = -w
+            (np.array([0.0, 1.0, 0.0]), half_height),   # floor       y = +h
+            (np.array([0.0, -1.0, 0.0]), half_height),  # ceiling     y = -h
+            (np.array([0.0, 0.0, 1.0]), far_z),         # far wall    z = far
+        ]
+        # per-plane in-plane texture axes (u_dir, v_dir)
+        self._axes = [
+            (np.array([0.0, 1.0, 0.0]), np.array([0.0, 0.0, 1.0])),
+            (np.array([0.0, 1.0, 0.0]), np.array([0.0, 0.0, 1.0])),
+            (np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0])),
+            (np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0])),
+            (np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0])),
+        ]
+        # precompute the cumulative ground-truth poses T_i (X_i = T_i X_0)
+        yaw_amp = np.deg2rad(yaw_amp_deg)
+        roll_amp = np.deg2rad(roll_amp_deg)
+        poses = [np.eye(4)]
+        for k in range(n_frames):
+            yaw = yaw_amp * np.sin(2 * np.pi * k / 40.0)
+            roll = roll_amp * np.cos(2 * np.pi * k / 55.0)
+            pitch = 0.3 * yaw_amp * np.sin(2 * np.pi * k / 27.0)
+            twist = jnp.asarray(
+                [0.002, 0.001, speed, pitch, yaw, roll], jnp.float32)
+            step = np.asarray(se3.exp(twist), np.float64)
+            poses.append(step @ poses[-1])
+        self._poses = poses
+        uu, vv = np.meshgrid(np.arange(cols, dtype=np.float64),
+                             np.arange(rows, dtype=np.float64))
+        K = self._K
+        self._rays = np.stack([(uu - K[0, 2]) / K[0, 0],
+                               (vv - K[1, 2]) / K[1, 1],
+                               np.ones_like(uu)], -1)
+
+    @classmethod
+    def from_config(cls, cf: ConfigFile) -> "SyntheticCorridorDataset":
+        return cls(rows=cf.get("SyntheticRows", 240, int),
+                   cols=cf.get("SyntheticCols", 320, int),
+                   n_frames=cf.get("SyntheticNumFrames", 100, int))
+
+    @staticmethod
+    def _texture(u, v, k):
+        f1 = 5.0 + 1.7 * k
+        f2 = 8.0 + 2.3 * k
+        return (128 + 52 * np.sin(u * f1 + 0.7 * k) * np.cos(v * f2)
+                + 36 * np.sin((u * 2.1 + v * 3.3) * (4.0 + k))
+                + 18 * np.cos(u * 17.0 - v * 11.0 + k))
+
+    def pose_at(self, i: int) -> np.ndarray:
+        """Ground-truth warp pose of frame i wrt frame 0 (X_i = T X_0)."""
+        return self._poses[i]
+
+    def gt_world_pose(self, i: int) -> np.ndarray:
+        return np.linalg.inv(self._poses[i])
+
+    def get_frame(self, i: int) -> Optional[DatasetFrame]:
+        if i >= self._n:
+            return None
+        T = self._poses[i]
+        R, t = T[:3, :3], T[:3, 3]
+        A, b = R.T, -R.T @ t            # X_0 = A X_i + b
+        rays = self._rays
+        Z_best = np.full(rays.shape[:2], np.inf)
+        I = np.zeros(rays.shape[:2])
+        for k, ((n0, d0), (ud, vd)) in enumerate(zip(self._planes, self._axes)):
+            n_i = R @ n0                 # plane normal in frame-i coords
+            d_i = d0 - n0 @ b
+            denom = rays @ n_i
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Z = d_i / denom
+            Z = np.where(np.isfinite(Z), Z, -1.0)
+            valid = (Z > 0.05) & (Z < Z_best)
+            if not valid.any():
+                continue
+            X_i = rays * np.where(valid, Z, 1.0)[..., None]
+            X_0 = X_i @ A.T + b
+            tex = self._texture(X_0 @ ud, X_0 @ vd, k)
+            I = np.where(valid, tex, I)
+            Z_best = np.where(valid, Z, Z_best)
+        Z_best = np.where(np.isfinite(Z_best), Z_best, 1e6)
+        D = (self._K[0, 0] * self._baseline / Z_best).astype(np.float32)
+        return DatasetFrame(image=I.astype(np.float32), disparity=D,
+                            filename=f"corridor/{i:06d}")
+
+    @property
+    def calibration(self) -> StereoCalibration:
+        return StereoCalibration(K=self._K.astype(np.float32),
+                                 baseline=self._baseline)
+
+    @property
+    def image_size(self):
+        return (self._rows, self._cols)
+
+    @property
+    def name(self):
+        return "synthetic-corridor"
+
+
+def write_pfm(path: str, arr: np.ndarray) -> None:
+    """Write a float32 grayscale PFM (bottom-up row order, little-endian) —
+    a lossless disparity interchange format readable by OpenCV ``imread``
+    with IMREAD_UNCHANGED on both the reference and bpvo_tpu sides."""
+    arr = np.asarray(arr, np.float32)
+    assert arr.ndim == 2
+    with open(path, "wb") as f:
+        f.write(b"Pf\n")
+        f.write(f"{arr.shape[1]} {arr.shape[0]}\n".encode())
+        f.write(b"-1.0\n")
+        f.write(np.ascontiguousarray(arr[::-1]).tobytes())
+
+
+def read_pfm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"Pf":
+            raise ValueError("not a grayscale PFM")
+        w, h = map(int, f.readline().split())
+        scale = float(f.readline())
+        data = np.frombuffer(f.read(), "<f4" if scale < 0 else ">f4")
+    return data.reshape(h, w)[::-1].copy()
+
+
+def write_sequence(dataset: Dataset, out_dir: str,
+                   n_frames: Optional[int] = None) -> int:
+    """Materialize a synthetic dataset to disk for head-to-head parity runs:
+    ``left/%06d.png`` (8-bit grayscale — both frameworks then consume
+    byte-identical pixels), ``disp/%06d.pfm`` (float32, lossless),
+    ``calib.txt`` (fx fy cx cy baseline) and ``gt_kitti.txt``
+    (ground-truth camera-to-world 3x4 rows, KITTI devkit format)."""
+    import cv2
+    import os
+    os.makedirs(os.path.join(out_dir, "left"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "disp"), exist_ok=True)
+    count = 0
+    gt_rows = []
+    for i in range(n_frames if n_frames is not None else 10 ** 9):
+        frame = dataset.get_frame(i)
+        if frame is None:
+            break
+        img = np.clip(np.round(frame.image), 0, 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(out_dir, "left", f"{i:06d}.png"), img)
+        write_pfm(os.path.join(out_dir, "disp", f"{i:06d}.pfm"),
+                  frame.disparity)
+        gt = dataset.gt_world_pose(i)
+        gt_rows.append(" ".join(f"{v:.9g}" for v in gt[:3].reshape(-1)))
+        count += 1
+    K, b = dataset.calibration.K, dataset.calibration.baseline
+    with open(os.path.join(out_dir, "calib.txt"), "w") as f:
+        f.write(f"{K[0, 0]} {K[1, 1]} {K[0, 2]} {K[1, 2]} {b}\n")
+    with open(os.path.join(out_dir, "gt_kitti.txt"), "w") as f:
+        f.write("\n".join(gt_rows) + "\n")
+    return count

@@ -27,6 +27,12 @@ from bpvo_tpu.vo import warp as warp_mod
 from bpvo_tpu.vo.template_data import TemplateData
 
 
+# fewer valid points than this cannot constrain the 6-DoF solve; levels below
+# it are skipped (branchless).  Deliberately NOT minNumPixelsToWork — the
+# reference parses that key but never consults it (see _estimate_all docstring).
+_MIN_POINTS_PER_LEVEL = 8
+
+
 @partial(jax.jit, static_argnames=("opts",))
 def _run_level(tdata, channels, cam, T, opts):
     """Single-level GN (kept for tests/tools; production uses _estimate_all)."""
@@ -46,8 +52,12 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
     """Full coarse-to-fine estimation as one XLA program.
 
     Levels with fewer than ``min_points`` valid template points leave the pose
-    untouched (reference minNumPixelsToWork semantics, types.h:352-357) — a
-    branchless select, so degenerate levels cost compute but not correctness.
+    untouched — a branchless select, so degenerate levels cost compute but not
+    correctness.  NOTE: the reference parses minNumPixelsToWork but never uses
+    it (types.cc:101 is its only non-print reference) and runs every level
+    regardless of point count (vo_pose_estimator.cc:76-90); we therefore gate
+    only truly degenerate levels (fewer points than needed to constrain the
+    6-DoF solve), not on minNumPixelsToWork.
 
     Returns (T, iters (L,), f_norm (L,), g_norm (L,), status (L,), frac_good,
     H (6,6), finest_weights).
@@ -106,7 +116,7 @@ class PoseEstimator:
         (T, iters, fs, gs, status, frac, H, w) = _estimate_all(
             tuple(templates), tuple(channels_pyr), tuple(cams),
             jnp.asarray(T_init, jnp.float32), self._opts_for(n_levels),
-            p.maxTestLevel, p.goodPointThreshold, p.minNumPixelsToWork)
+            p.maxTestLevel, p.goodPointThreshold, _MIN_POINTS_PER_LEVEL)
 
         self._last_weights = w
         self._last_H = H

@@ -1,0 +1,236 @@
+"""Head-to-head accuracy parity: reference C++ bpvo vs bpvo_tpu.
+
+Generates shared synthetic sequences on disk (8-bit PNG images + float PFM
+disparity — both frameworks consume byte-identical inputs), runs the reference
+binary (ref_harness/build/ref_vo_runner, see ref_harness/CMakeLists.txt) and
+bpvo_tpu's VisualOdometry over the same frames with the same config file, and
+evaluates both trajectories against exact ground truth.
+
+Metrics: ATE RMSE (m), mean per-frame relative translation error (RPE, mm),
+mean per-frame relative rotation error (deg), keyframe counts, mean GN
+iterations.  Mirrors the reference's own integration oracle
+(/root/reference/apps/eval_kitti.cc:85-116, utils/kitti_eval.cc:113-235) on
+sequences short enough for exact synthetic ground truth.
+
+Usage: python scripts/run_parity.py [--out parity_data] [--frames N]
+                                    [--md PARITY_RESULTS.md]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bpvo_tpu.config import AlgorithmParameters, ConfigFile
+from bpvo_tpu.data.dataset import DisparityDataset, FileSequence
+from bpvo_tpu.data.synthetic import (SyntheticCorridorDataset,
+                                     SyntheticPlaneDataset, write_sequence)
+from bpvo_tpu.data.tunnel import load_calibration_file
+from bpvo_tpu.eval import kitti_eval
+
+REF_RUNNER = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "ref_harness", "build", "ref_vo_runner")
+
+BASE_CONFIG = """\
+numPyramidLevels = 4
+maxTestLevel = 0
+withNormalization = 1
+maxIterations = 100
+parameterTolerance = 1e-6
+functionTolerance = 1e-5
+gradientTolerance = 1e-6
+relaxTolerancesForCoarseLevels = 1
+lossFunction = Huber
+verbosity = Silent
+minValidDisparity = 0.1
+maxValidDisparity = 512
+minSaliency = 0.01
+nonMaxSuppRadius = 1
+minNumPixelsForNonMaximaSuppression = 320
+minTranslationMagToKeyFrame = 0.15
+minRotationMagToKeyFrame = 2.5
+maxFractionOfGoodPointsToKeyFrame = 0.6
+goodPointThreshold = 0.85
+gradientEstimation = CD3
+Interpolation = Linear
+Descriptor = {descriptor}
+sigmaPriorToCensusTransform = 0.75
+sigmaBitPlanes = 0.5
+"""
+
+
+def make_sequences(out_dir: str, n_frames: int):
+    seqs = {}
+    for name, ds in (
+        ("plane", SyntheticPlaneDataset(rows=240, cols=320,
+                                        n_frames=n_frames, z0=6.0)),
+        ("corridor", SyntheticCorridorDataset(rows=240, cols=320,
+                                              n_frames=n_frames)),
+    ):
+        seq_dir = os.path.join(out_dir, name)
+        if not os.path.exists(os.path.join(seq_dir, "gt_kitti.txt")):
+            print(f"[gen] {name}: {n_frames} frames -> {seq_dir}")
+            write_sequence(ds, seq_dir, n_frames)
+        seqs[name] = seq_dir
+    return seqs
+
+
+def run_reference(seq_dir: str, config: str, out_prefix: str):
+    fx, fy, cx, cy, b = np.loadtxt(os.path.join(seq_dir, "calib.txt"))
+    cmd = [REF_RUNNER, config,
+           os.path.join(seq_dir, "left", "%06d.png"),
+           os.path.join(seq_dir, "disp", "%06d.pfm"),
+           str(fx), str(fy), str(cx), str(cy), str(b), "100000", out_prefix]
+    t0 = time.perf_counter()
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    wall = time.perf_counter() - t0
+    if res.returncode != 0:
+        raise RuntimeError(f"reference runner failed:\n{res.stdout}\n{res.stderr}")
+    return wall
+
+
+def run_ours(seq_dir: str, config: str, out_prefix: str):
+    from bpvo_tpu.vo.odometry import VisualOdometry
+    cf = ConfigFile(config)
+    params = AlgorithmParameters.from_config(cf)
+    calib = load_calibration_file(os.path.join(seq_dir, "calib.txt"))
+    ds = DisparityDataset(FileSequence(seq_dir, "left/%06d.png"),
+                          FileSequence(seq_dir, "disp/%06d.pfm"), calib)
+    vo = VisualOdometry(calib.K, calib.baseline, ds.image_size, params)
+    iters, kf = [], []
+    t0 = time.perf_counter()
+    for frame in ds:
+        r = vo.add_frame(frame.image, frame.disparity)
+        iters.append(r.optimizer_statistics[0].num_iterations
+                     if r.optimizer_statistics else 0)
+        kf.append(int(r.is_keyframe))
+    wall = time.perf_counter() - t0
+    vo.trajectory.write_kitti_format(out_prefix + "_kitti.txt")
+    np.savetxt(out_prefix + "_iters.txt", np.asarray(iters, np.int32), fmt="%d")
+    np.savetxt(out_prefix + "_kf.txt", np.asarray(kf, np.int32), fmt="%d")
+    return wall
+
+
+def relative_errors(gt, est):
+    """Per-frame relative-pose errors (RPE): translation (m) and rotation (rad)."""
+    n = min(len(gt), len(est))
+    dt, dr = [], []
+    for i in range(n - 1):
+        g = np.linalg.inv(gt[i]) @ gt[i + 1]
+        e = np.linalg.inv(est[i]) @ est[i + 1]
+        err = np.linalg.inv(e) @ g
+        dt.append(np.linalg.norm(err[:3, 3]))
+        c = np.clip((np.trace(err[:3, :3]) - 1) / 2, -1, 1)
+        dr.append(np.arccos(c))
+    return float(np.mean(dt)), float(np.mean(dr))
+
+
+def evaluate(gt_file: str, est_file: str):
+    gt = kitti_eval.load_poses(gt_file)
+    est = kitti_eval.load_poses(est_file)
+    n = min(len(gt), len(est))
+    ate = kitti_eval.ate_rmse(gt[:n], est[:n])
+    rpe_t, rpe_r = relative_errors(gt[:n], est[:n])
+    return {"ate_rmse_m": float(ate), "rpe_t_mm": 1000 * rpe_t,
+            "rpe_r_deg": float(np.rad2deg(rpe_r)), "n": n}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="parity_data")
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--md", default="PARITY_RESULTS.md")
+    ap.add_argument("--descriptors", nargs="+",
+                    default=["Intensity", "BitPlanes"])
+    ap.add_argument("--sequences", nargs="+", default=None)
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    seqs = make_sequences(args.out, args.frames)
+    if args.sequences:
+        seqs = {k: v for k, v in seqs.items() if k in args.sequences}
+
+    rows = []
+    for seq_name, seq_dir in seqs.items():
+        gt_file = os.path.join(seq_dir, "gt_kitti.txt")
+        for desc in args.descriptors:
+            config = os.path.join(args.out, f"parity_{desc.lower()}.cfg")
+            with open(config, "w") as f:
+                f.write(BASE_CONFIG.format(descriptor=desc))
+            tag = f"{seq_name}/{desc}"
+            ref_prefix = os.path.join(seq_dir, f"ref_{desc.lower()}")
+            our_prefix = os.path.join(seq_dir, f"tpu_{desc.lower()}")
+
+            print(f"[ref] {tag}")
+            ref_wall = run_reference(seq_dir, config, ref_prefix)
+            print(f"[tpu] {tag}")
+            our_wall = run_ours(seq_dir, config, our_prefix)
+
+            ref_m = evaluate(gt_file, ref_prefix + "_kitti.txt")
+            our_m = evaluate(gt_file, our_prefix + "_kitti.txt")
+            ref_iters = np.loadtxt(ref_prefix + "_iters.txt")
+            our_iters = np.loadtxt(our_prefix + "_iters.txt")
+            ref_kf = int(np.sum(np.loadtxt(ref_prefix + "_kf.txt")))
+            our_kf = int(np.sum(np.loadtxt(our_prefix + "_kf.txt")))
+            row = {
+                "sequence": seq_name, "descriptor": desc,
+                "ref": ref_m, "tpu": our_m,
+                "ref_kf": ref_kf, "tpu_kf": our_kf,
+                "ref_mean_iters": float(np.mean(ref_iters)),
+                "tpu_mean_iters": float(np.mean(our_iters)),
+                "ref_wall_s": ref_wall, "tpu_wall_s": our_wall,
+            }
+            rows.append(row)
+            print(json.dumps(row, indent=2))
+
+    write_markdown(rows, args.md, args.frames)
+    with open(os.path.join(args.out, "parity_results.json"), "w") as f:
+        json.dump(rows, f, indent=2)
+
+
+def write_markdown(rows, md_path, n_frames):
+    lines = [
+        "# PARITY_RESULTS — reference C++ bpvo vs bpvo_tpu (head-to-head)",
+        "",
+        "Both frameworks run over byte-identical on-disk sequences "
+        "(8-bit PNG images + float32 PFM disparity) with the **same config "
+        "file** (reference key names parse unchanged on both sides). "
+        f"{n_frames} frames per sequence, exact synthetic ground truth.",
+        "",
+        "Reference binary: `ref_harness/build/ref_vo_runner` (reference core "
+        "compiled from /root/reference/bpvo, see ref_harness/). "
+        "Regenerate with `python scripts/run_parity.py`.",
+        "",
+        "| sequence | descriptor | framework | ATE RMSE (m) | RPE trans "
+        "(mm/frame) | RPE rot (deg/frame) | keyframes | mean GN iters |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        for fw, m, kf, it in (("reference", r["ref"], r["ref_kf"],
+                               r["ref_mean_iters"]),
+                              ("bpvo_tpu", r["tpu"], r["tpu_kf"],
+                               r["tpu_mean_iters"])):
+            lines.append(
+                f"| {r['sequence']} | {r['descriptor']} | {fw} | "
+                f"{m['ate_rmse_m']:.4f} | {m['rpe_t_mm']:.3f} | "
+                f"{m['rpe_r_deg']:.4f} | {kf} | {it:.1f} |")
+    lines.append("")
+    ok = all(r["tpu"]["ate_rmse_m"] <= max(2 * r["ref"]["ate_rmse_m"], 0.02)
+             for r in rows)
+    lines.append(f"**Parity gate (bpvo_tpu ATE ≤ max(2x reference ATE, 2 cm) "
+                 f"on every sequence x descriptor): {'PASS' if ok else 'FAIL'}**")
+    lines.append("")
+    with open(md_path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {md_path}")
+
+
+if __name__ == "__main__":
+    main()
