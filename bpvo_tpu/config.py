@@ -44,8 +44,11 @@ class ConfigFile:
     def parse(self, filename: str) -> "ConfigFile":
         with open(filename, "r") as f:
             for line in f:
-                line = line.split("#")[0].split("%")[0].strip()
-                if not line or "=" not in line:
+                line = line.strip()
+                # Comments only when the line STARTS with '#'/'%' (reference
+                # config_file.cc:59 checks line.front()); '%' mid-value must
+                # survive for printf formats like LeftImageFormat=image%06d.pgm.
+                if not line or line[0] in "#%" or "=" not in line:
                     continue
                 key, _, value = line.partition("=")
                 self.set(key.strip(), value.strip())
@@ -69,8 +72,12 @@ class ConfigFile:
             return raw.strip().lower() in ("1", "true", "yes", "on")
         if type is int:
             # tolerate "5.0" for int keys the way atoi-ish parsing would not;
-            # round-trip through float for robustness
-            return int(float(raw))
+            # round-trip through float for robustness.  Numeric getters read
+            # only the first token (reference str2num = stream extraction),
+            # so trailing "% comment" text after a value is ignored.
+            return int(float(raw.split()[0]))
+        if type is float:
+            return float(raw.split()[0])
         return type(raw)
 
     def __contains__(self, key: str) -> bool:
@@ -83,6 +90,17 @@ class ConfigFile:
 
     def items(self):
         return [(self._original_keys[k], v) for k, v in self._values.items()]
+
+
+def _parse_pose_estimator(name: str) -> str:
+    n = name.strip().lower()
+    if n in ("gn", "gaussnewton", "gauss-newton", "gauss_newton"):
+        return "GaussNewton"
+    if n in ("lm", "levenbergmarquardt", "levenberg-marquardt",
+             "levenberg_marquardt"):
+        return "LevenbergMarquardt"
+    raise ValueError(f"unknown poseEstimator: {name!r} (GaussNewton | "
+                     f"LevenbergMarquardt)")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,6 +133,10 @@ class AlgorithmParameters:
     functionTolerance: float = 1e-6
     gradientTolerance: float = 1e-8
     relaxTolerancesForCoarseLevels: bool = True
+    # Which per-level optimizer: "GaussNewton" (reference pose_estimator_gn.h)
+    # or "LevenbergMarquardt" (reference pose_estimator_lm.h:72-119; the
+    # reference ships it as a code-level variant, we expose it as a config key).
+    poseEstimator: str = "GaussNewton"
     gradientEstimation: GradientEstimationType = GradientEstimationType.CD3
     interp: InterpolationType = InterpolationType.LINEAR
     lossFunction: LossFunctionType = LossFunctionType.TUKEY
@@ -220,6 +242,8 @@ class AlgorithmParameters:
                 "coarseToleranceScale", d.coarseToleranceScale, float),
             numShards=cf.get("numShards", d.numShards, int),
             withMotionModel=cf.get("withMotionModel", d.withMotionModel, bool),
+            poseEstimator=_parse_pose_estimator(
+                cf.get("poseEstimator", d.poseEstimator, str)),
         )
 
     def num_pyramid_levels_for(self, rows: int, cols: int) -> int:

@@ -142,8 +142,9 @@ class SyntheticCorridorDataset(Dataset):
             yaw = yaw_amp * np.sin(2 * np.pi * k / 40.0)
             roll = roll_amp * np.cos(2 * np.pi * k / 55.0)
             pitch = 0.3 * yaw_amp * np.sin(2 * np.pi * k / 27.0)
+            # se3.exp convention is [omega(3), v(3)] — rotation first
             twist = jnp.asarray(
-                [0.002, 0.001, speed, pitch, yaw, roll], jnp.float32)
+                [pitch, yaw, roll, 0.002, 0.001, speed], jnp.float32)
             step = np.asarray(se3.exp(twist), np.float64)
             poses.append(step @ poses[-1])
         self._poses = poses

@@ -146,22 +146,47 @@ def central_difference(I, radius: int = 3, sigma_before: float = 0.75,
         for dx in range(-radius, radius + 1):
             if dy == 0 and dx == 0:
                 continue
-            chans.append(Is - jnp.roll(Is, (-dy, -dx), axis=(-2, -1)))
+            # edge-clamped shift: no wrap-around even when radius exceeds the
+            # selection border (configurable centralDifferenceRadius)
+            chans.append(Is - shift_clamp(Is, dy, dx))
     out = jnp.stack(chans)
     if sigma_after > 0:
         out = imgproc.imsmooth(out, sigma_after)
     return out
 
 
-# LATCH patch-triplet layout: fixed pseudo-random (anchor, a, b) offsets within a
-# window, regenerated deterministically — NOT the learned triplets shipped with
-# OpenCV's LATCH (those are trained data; we only need the structure for parity).
+# LATCH patch-triplet layout: fixed pseudo-random (anchor, a, b) offsets within
+# a window, regenerated deterministically — NOT the learned triplets shipped
+# with OpenCV's LATCH (those are trained data vendored into the reference,
+# latch_descriptor.cc; we deliberately do not copy them — divergence documented
+# in PARITY.md).  The reference's ``latchRotationInvariance`` knob has no
+# observable effect in its dense evaluation: every densely-generated keypoint
+# carries cv::KeyPoint's default angle (latch_descriptor.cc:126-131), so the
+# "rotation" applied is the same constant for all pixels; we therefore accept
+# the config key but do not rotate.
 _LATCH_WINDOW = 8
 
 
 def _latch_triplets(n: int, seed: int = 7):
     r = np.random.default_rng(seed)
     return r.integers(-_LATCH_WINDOW, _LATCH_WINDOW + 1, size=(n, 3, 2))
+
+
+def shift_clamp(I, dy: int, dx: int):
+    """I(y + dy, x + dx) with edge-clamped (replicated) borders.
+
+    Unlike ``jnp.roll`` this never wraps content from the opposite border into
+    the frame, so descriptor channels stay honest for pixels within the shift
+    radius of the image edge regardless of the selection border.
+    """
+    H, W = I.shape[-2], I.shape[-1]
+    # out[y, x] = Ip[y + max(dy,0), x + max(dx,0)] where Ip pads
+    # (max(-dy,0), max(dy,0)) rows and (max(-dx,0), max(dx,0)) cols.
+    pad = [(0, 0)] * (I.ndim - 2) + [(max(-dy, 0), max(dy, 0)),
+                                     (max(-dx, 0), max(dx, 0))]
+    Ip = jnp.pad(I, pad, mode="edge")
+    y0, x0 = max(dy, 0), max(dx, 0)
+    return Ip[..., y0:y0 + H, x0:x0 + W]
 
 
 def latch(I, num_bytes: int = 1, half_ssd_size: int = 1):
@@ -172,14 +197,15 @@ def latch(I, num_bytes: int = 1, half_ssd_size: int = 1):
 
     Re-designed for TPU: the per-pixel SSDs are computed with shifted whole-image
     squared differences + a box filter, so each channel is a few fused VPU ops.
+    Shifts are edge-clamped (no wrap-around contamination near borders).
     """
     I = I.astype(jnp.float32)
     k = 2 * half_ssd_size + 1
     box = np.ones((k,), np.float32)
 
     def patch_ssd(off_a, off_b):
-        d = jnp.roll(I, (-off_a[0], -off_a[1]), axis=(-2, -1)) - \
-            jnp.roll(I, (-off_b[0], -off_b[1]), axis=(-2, -1))
+        d = (shift_clamp(I, int(off_a[0]), int(off_a[1]))
+             - shift_clamp(I, int(off_b[0]), int(off_b[1])))
         return imgproc._sep_conv2d(d * d, box, box)
 
     chans = []

@@ -101,15 +101,21 @@ def _build_templates(channels_pyr, disparity, cams, p, capacities):
 
 
 def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
-              max_test_level, good_threshold, min_points: int = 0):
+              max_test_level, good_threshold, min_points: int = 0,
+              solver: str = "GaussNewton"):
     n_levels = len(channels_pyr)
     T = T_init
     iters = [jnp.asarray(0, jnp.int32)] * n_levels
     fs = [jnp.asarray(0.0, jnp.float32)] * n_levels
+    if solver == "LevenbergMarquardt":
+        from bpvo_tpu.solver import levenberg_marquardt as lm
+        run_level = lm.run
+    else:
+        run_level = gn.run
     finest = None
     for level in range(n_levels - 1, max_test_level - 1, -1):
-        st = gn.run(templates[level], channels_pyr[level], cams[level], T,
-                    opts_per_level[level])
+        st = run_level(templates[level], channels_pyr[level], cams[level], T,
+                       opts_per_level[level])
         # minNumPixelsToWork guard (branchless; reference types.h:352-357)
         enough = templates[level].num_valid >= min_points
         st = st._replace(T=jnp.where(enough, st.T, T),
@@ -164,7 +170,8 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
                   else state.T_kf)
         T_est, iters, fs, frac, H = _estimate(
             state.templates, channels, cams, T_init, opts_per_level,
-            p.maxTestLevel, p.goodPointThreshold, p.minNumPixelsToWork)
+            p.maxTestLevel, p.goodPointThreshold, p.minNumPixelsToWork,
+            p.poseEstimator)
 
         reason = _keyframe_reason(T_est, frac, p)
         is_kf = reason != KF_NONE
@@ -202,7 +209,7 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
             T2, it2, fs2, _frac2, _H2 = _estimate(
                 templates, channels, cams, T2_init,
                 opts_per_level, p.maxTestLevel, p.goodPointThreshold,
-                p.minNumPixelsToWork)
+                p.minNumPixelsToWork, p.poseEstimator)
             pose = jnp.where(has_prev, T2,
                              T_est @ _rigid_inverse(state.T_kf))
             T_kf_new = jnp.where(has_prev, T2, jnp.eye(4, dtype=jnp.float32))

@@ -290,7 +290,12 @@ class VisualOdometry:
         if t_sq > p.minTranslationMagToKeyFrame ** 2:
             return KeyFramingReason.LARGE_TRANSLATION
 
-        # host-side Euler magnitude (same convention as se3.rotation_to_euler_deg)
+        # Host-side Euler magnitude in DEGREES, per the reference's documented
+        # contract (types.h:313-320 "Units: degrees").  NOTE the reference
+        # IMPLEMENTATION compares radian Euler angles against the degree
+        # threshold (math_utils.h RotationMatrixToEulerAngles returns asin
+        # values, vo.cc:208-213), so its rotation test effectively never fires
+        # for typical thresholds; we follow the documented semantics instead.
         R = np.asarray(T_est)[:3, :3]
         sy = np.sqrt(R[0, 0] ** 2 + R[1, 0] ** 2)
         euler = np.degrees([np.arctan2(R[2, 1], R[2, 2]),

@@ -40,7 +40,7 @@ def _run_level(tdata, channels, cam, T, opts):
 
 
 @partial(jax.jit, static_argnames=("opts_per_level", "max_test_level",
-                                   "good_threshold", "min_points"))
+                                   "good_threshold", "min_points", "solver"))
 def _estimate_all(templates: Tuple[TemplateData, ...],
                   channels: Tuple[jnp.ndarray, ...],
                   cams: Tuple[warp_mod.CameraModel, ...],
@@ -48,7 +48,8 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
                   opts_per_level: Tuple[gn.GNOptions, ...],
                   max_test_level: int,
                   good_threshold: float,
-                  min_points: int = 0):
+                  min_points: int = 0,
+                  solver: str = "GaussNewton"):
     """Full coarse-to-fine estimation as one XLA program.
 
     Levels with fewer than ``min_points`` valid template points leave the pose
@@ -69,10 +70,16 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
     gs = [jnp.asarray(0.0, jnp.float32)] * n_levels
     status = [jnp.asarray(gn.STATUS_MAX_ITERATIONS, jnp.int32)] * n_levels
 
+    if solver == "LevenbergMarquardt":
+        from bpvo_tpu.solver import levenberg_marquardt as lm
+        run_level = lm.run
+    else:
+        run_level = gn.run
+
     finest = None
     for level in range(n_levels - 1, max_test_level - 1, -1):
-        st = gn.run(templates[level], channels[level], cams[level], T,
-                    opts_per_level[level])
+        st = run_level(templates[level], channels[level], cams[level], T,
+                       opts_per_level[level])
         enough = templates[level].num_valid >= min_points
         st = st._replace(T=jnp.where(enough, st.T, T),
                          num_iters=jnp.where(enough, st.num_iters, 0))
@@ -116,7 +123,8 @@ class PoseEstimator:
         (T, iters, fs, gs, status, frac, H, w) = _estimate_all(
             tuple(templates), tuple(channels_pyr), tuple(cams),
             jnp.asarray(T_init, jnp.float32), self._opts_for(n_levels),
-            p.maxTestLevel, p.goodPointThreshold, _MIN_POINTS_PER_LEVEL)
+            p.maxTestLevel, p.goodPointThreshold, _MIN_POINTS_PER_LEVEL,
+            p.poseEstimator)
 
         self._last_weights = w
         self._last_H = H

@@ -39,7 +39,7 @@ REF_RUNNER = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "ref_harness", "build", "ref_vo_runner")
 
 BASE_CONFIG = """\
-numPyramidLevels = 4
+numPyramidLevels = 3
 maxTestLevel = 0
 withNormalization = 1
 maxIterations = 100

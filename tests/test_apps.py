@@ -3,6 +3,8 @@ writers, point-cloud IO, KITTI metrics, and the LM optimizer."""
 import json
 import os
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -196,6 +198,43 @@ class TestLevenbergMarquardt:
         err = np.asarray(se3.log(jnp.asarray(
             np.asarray(st.T) @ np.linalg.inv(T_true), jnp.float32)))
         assert np.abs(err).max() < 5e-3, (err, int(st.num_iters))
+
+
+class TestLMViaConfig:
+    def test_pose_estimator_key(self, tmp_path):
+        """poseEstimator = LM selects the Levenberg-Marquardt per-level solver
+        end-to-end (reference ships LM only as a code-level variant,
+        pose_estimator_lm.h:72-119; we expose it as a config key)."""
+        from bpvo_tpu.config import ConfigFile
+        cfg = tmp_path / "lm.cfg"
+        cfg.write_text("poseEstimator = LM\nnumPyramidLevels = 3\n"
+                       "minSaliency = 2.0\nfunctionTolerance = 1e-4\n")
+        p = AlgorithmParameters.from_config_file(str(cfg))
+        assert p.poseEstimator == "LevenbergMarquardt"
+
+        from bpvo_tpu.vo.odometry import VisualOdometry
+        ds = SyntheticPlaneDataset(rows=120, cols=160, n_frames=8)
+        vo = VisualOdometry(ds.calibration.K, ds.calibration.baseline,
+                            ds.image_size, p)
+        gn_vo = VisualOdometry(ds.calibration.K, ds.calibration.baseline,
+                               ds.image_size,
+                               p.replace(poseEstimator="GaussNewton"))
+        for i in range(8):
+            f = ds.get_frame(i)
+            r_lm = vo.add_frame(f.image, f.disparity)
+            r_gn = gn_vo.add_frame(f.image, f.disparity)
+        # same objective, same optimum: trajectories agree to sub-mm
+        t_lm = np.asarray(vo.trajectory.back())[:3, 3]
+        t_gn = np.asarray(gn_vo.trajectory.back())[:3, 3]
+        np.testing.assert_allclose(t_lm, t_gn, atol=1e-3)
+        assert r_lm.optimizer_statistics[0].num_iterations >= 1
+
+    def test_bad_value_raises(self, tmp_path):
+        from bpvo_tpu.config import ConfigFile
+        cfg = tmp_path / "bad.cfg"
+        cfg.write_text("poseEstimator = Adam\n")
+        with pytest.raises(ValueError):
+            AlgorithmParameters.from_config_file(str(cfg))
 
 
 class TestLongSequenceAccuracy:

@@ -134,3 +134,41 @@ class TestDevicePrefetch:
             frames = list(loader)
         assert len(frames) == 3
         assert all(isinstance(f.image, jax.Array) for f in frames)
+
+
+class TestTunnelDataset:
+    """conf/tunnel.cfg-style config -> working DisparityDataset (reference
+    utils/tunnel_dataset.cc:21-105 path: CalibrationFile + LeftImageFormat +
+    DisparityMapFormat)."""
+
+    def test_end_to_end(self, tmp_path):
+        import cv2
+        rng = np.random.default_rng(0)
+        for i in range(900, 903):
+            img = rng.integers(0, 255, (32, 40), np.uint8)
+            cv2.imwrite(str(tmp_path / f"image{i:06d}.pgm"), img)
+            disp16 = (rng.uniform(1, 64, (32, 40)) * 16).astype(np.uint16)
+            cv2.imwrite(str(tmp_path / f"image{i:06d}-disparity.pgm"), disp16)
+        (tmp_path / "stereoCalibration.txt").write_text(
+            "CRL Camera Config\n"
+            "fx,fy,cx,cy: 600.0, 601.0, 320.5, 240.5\n"
+            "xyzrpq: -0.25, 0, 0, 0, 0, 0\n")
+        cfg = tmp_path / "tunnel.cfg"
+        cfg.write_text(
+            "Dataset = tunnel\n"
+            f"DataSetRootDirectory = {tmp_path}\n"
+            f"CalibrationFile = {tmp_path}/stereoCalibration.txt\n"
+            "LeftImageFormat = image%06d.pgm\n"
+            "DisparityMapFormat = image%06d-disparity.pgm\n"
+            "firstFrameNumber = 900\n")
+        from bpvo_tpu.data.dataset import create_dataset
+        ds = create_dataset(str(cfg))
+        assert ds.name == "tunnel"
+        assert abs(ds.calibration.K[0, 0] - 600.0) < 1e-6
+        assert abs(ds.calibration.baseline - 0.25) < 1e-6
+        f = ds.get_frame(0)
+        assert f is not None and f.image.shape == (32, 40)
+        # uint16 disparity scaled by 1/16
+        assert f.disparity.dtype == np.float32
+        assert f.disparity.max() <= 64.5 and f.disparity.min() >= 0.5
+        assert ds.get_frame(3) is None

@@ -167,6 +167,35 @@ class TestDescriptors:
         np.testing.assert_allclose(ch[0], I, atol=1e-5)
         np.testing.assert_allclose(ch[1][:, 1:-1], 0.5 * (I[:, 2:] - I[:, :-2]), atol=1e-4)
 
+    def test_shift_clamp_vs_numpy(self):
+        I = synthetic_image(13, 17)
+        yy, xx = np.mgrid[0:13, 0:17]
+        for dy, dx in [(0, 0), (3, -2), (-5, 7), (8, 8), (-8, -8)]:
+            out = np.asarray(descriptors.shift_clamp(jnp.asarray(I), dy, dx))
+            ref = I[np.clip(yy + dy, 0, 12), np.clip(xx + dx, 0, 16)]
+            np.testing.assert_array_equal(out, ref, err_msg=f"({dy},{dx})")
+
+    def test_latch_no_border_wraparound(self):
+        """A border-localized perturbation must not change channels at the
+        OPPOSITE border (the jnp.roll bug VERDICT r1 flagged: ±8 px offsets
+        wrapped content across the frame)."""
+        I = synthetic_image(40, 48)
+        I2 = I.copy()
+        I2[:, -2:] += 100.0  # touch the right edge only
+        a = np.asarray(descriptors.latch(jnp.asarray(I)))
+        b = np.asarray(descriptors.latch(jnp.asarray(I2)))
+        # left 16 columns (> window+ssd radius away) must be identical
+        np.testing.assert_array_equal(a[:, :, :16], b[:, :, :16])
+
+    def test_central_difference_no_wraparound(self):
+        I = synthetic_image(30, 36)
+        I2 = I.copy()
+        I2[:2, :] += 50.0  # top edge
+        a = np.asarray(descriptors.central_difference(jnp.asarray(I)))
+        b = np.asarray(descriptors.central_difference(jnp.asarray(I2)))
+        # halo: pre-smooth (±2) + shift (±3) + post-smooth (±6) ≈ 11 rows
+        np.testing.assert_array_equal(a[:, 16:, :], b[:, 16:, :])
+
     def test_saliency_positive_on_texture(self):
         I = jnp.asarray(synthetic_image(40, 40))
         from bpvo_tpu.config import AlgorithmParameters
