@@ -92,6 +92,15 @@ class ConfigFile:
         return [(self._original_keys[k], v) for k, v in self._values.items()]
 
 
+def _parse_warp_type(name: str) -> str:
+    n = name.strip().lower().replace("-", "").replace("_", "")
+    if n in ("rigidbody", "rigid"):
+        return "RigidBody"
+    if n in ("disparityspace", "disparity", "dspace"):
+        return "DisparitySpace"
+    raise ValueError(f"unknown warpType: {name!r} (RigidBody | DisparitySpace)")
+
+
 def _parse_pose_estimator(name: str) -> str:
     n = name.strip().lower()
     if n in ("gn", "gaussnewton", "gauss-newton", "gauss_newton"):
@@ -137,6 +146,12 @@ class AlgorithmParameters:
     # or "LevenbergMarquardt" (reference pose_estimator_lm.h:72-119; the
     # reference ships it as a code-level variant, we expose it as a config key).
     poseEstimator: str = "GaussNewton"
+    # Warp parameterization: "RigidBody" (reference rigid_body_warp.h) or
+    # "DisparitySpace" (reference disparity_space_warp.h, compile-gated there
+    # by WITH_DISPARITY_SPACE_WARP; exposed here as a config key).  The
+    # disparity-space warp conditions better for distant/low-disparity points
+    # and needs no Hartley normalization.
+    warpType: str = "RigidBody"
     gradientEstimation: GradientEstimationType = GradientEstimationType.CD3
     interp: InterpolationType = InterpolationType.LINEAR
     lossFunction: LossFunctionType = LossFunctionType.TUKEY
@@ -244,6 +259,7 @@ class AlgorithmParameters:
             withMotionModel=cf.get("withMotionModel", d.withMotionModel, bool),
             poseEstimator=_parse_pose_estimator(
                 cf.get("poseEstimator", d.poseEstimator, str)),
+            warpType=_parse_warp_type(cf.get("warpType", d.warpType, str)),
         )
 
     def num_pyramid_levels_for(self, rows: int, cols: int) -> int:

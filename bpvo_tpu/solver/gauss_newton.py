@@ -64,6 +64,8 @@ class GNOptions:
     # per-iteration table like the reference's kIteration verbosity
     # (pose_estimator_base.h:231-247), printed from inside the jitted loop
     verbose: bool = False
+    # warp parameterization: "RigidBody" | "DisparitySpace" (config warpType)
+    warp: str = "RigidBody"
 
     @classmethod
     def from_params(cls, p: AlgorithmParameters, coarse: bool) -> "GNOptions":
@@ -76,7 +78,8 @@ class GNOptions:
                        function_tolerance=p.functionTolerance,
                        parameter_tolerance=p.parameterTolerance,
                        gradient_tolerance=p.gradientTolerance,
-                       loss=p.lossFunction, interp=p.interp, verbose=verbose)
+                       loss=p.lossFunction, interp=p.interp, verbose=verbose,
+                       warp=p.warpType)
         s = p.coarseToleranceScale
         loss = (p.lossFunction if p.lossFunction == LossFunctionType.L2
                 else LossFunctionType.HUBER)
@@ -84,7 +87,8 @@ class GNOptions:
                    function_tolerance=p.functionTolerance * s,
                    parameter_tolerance=p.parameterTolerance * s,
                    gradient_tolerance=p.gradientTolerance * s,
-                   loss=loss, interp=p.interp, verbose=verbose)
+                   loss=loss, interp=p.interp, verbose=verbose,
+                   warp=p.warpType)
 
 
 class GNState(NamedTuple):
@@ -108,7 +112,7 @@ class GNState(NamedTuple):
 def _linearize(tdata, channels, cam, T, scale, delta_scale, opts: GNOptions,
                packed=None):
     r, valid = td_mod.compute_residuals(tdata, channels, cam, T, opts.interp,
-                                        packed=packed)
+                                        packed=packed, warp=opts.warp)
     # scale re-estimation is skipped once stable (mestimator.cc:467-490) — via
     # lax.cond so the median work is actually not executed when stable.
     # Like the reference's getValidResiduals (linear_system_builder.cc:302-315)

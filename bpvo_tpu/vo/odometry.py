@@ -320,6 +320,15 @@ class VisualOdometry:
         w = self._pose_estimator.last_weights()
         valid = np.asarray(td.valid)
         pts = np.asarray(td.points)[valid]
+        if p.warpType == "DisparitySpace":
+            # template stores (x-cx, y-cy, d); convert to 3D for the cloud
+            cam = self._cams[p.maxTestLevel]
+            import jax.numpy as jnp
+            from bpvo_tpu.vo import warp as warp_mod
+            pts = np.asarray(warp_mod.make_points(
+                cam, jnp.asarray(pts[:, 0] + float(cam.cx)),
+                jnp.asarray(pts[:, 1] + float(cam.cy)),
+                jnp.asarray(np.maximum(pts[:, 2], 1e-3))))
         if w is not None and w.shape[1] == td.capacity:
             weights = np.asarray(w[0])[valid]
         else:

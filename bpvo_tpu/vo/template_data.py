@@ -94,21 +94,29 @@ def set_data(channels, disparity, cam: warp_mod.CameraModel,
         max_disparity=p.maxValidDisparity, border=border)
 
     d_safe = jnp.where(sel.valid, sel.disparity, 1.0)
-    points = warp_mod.make_points(cam, sel.cols.astype(jnp.float32),
-                                  sel.rows.astype(jnp.float32), d_safe)
-    # padding slots get a finite dummy point at (0, 0, 1): Z must stay nonzero
-    # or 1/Z pollutes the Jacobians with inf/NaN that masking cannot remove
-    dummy = jnp.array([0.0, 0.0, 1.0], points.dtype)
-    points = jnp.where(sel.valid[:, None], points, dummy)
-
-    if p.withNormalization:
-        s, c = warp_mod.hartley_normalization(points, sel.valid)
-    else:
-        s, c = warp_mod.identity_normalization(points.dtype)
-
+    xf = sel.cols.astype(jnp.float32)
+    yf = sel.rows.astype(jnp.float32)
     pixels = _gather_at(channels, sel.rows, sel.cols)
     gx, gy = _channel_gradients(channels, sel.rows, sel.cols, p.gradientEstimation)
-    J = warp_mod.jacobian(cam, points, gx, gy, s, c)  # (C, K, 6)
+
+    if p.warpType == "DisparitySpace":
+        # disparity-space parameterization: points = (x-cx, y-cy, d), no
+        # Hartley normalization (reference disparity_space_warp.h:86-89)
+        points = warp_mod.disparity_space_make_points(cam, xf, yf, d_safe)
+        s, c = warp_mod.identity_normalization(points.dtype)
+        J = warp_mod.disparity_space_jacobian(cam, points, gx, gy)
+    else:
+        points = warp_mod.make_points(cam, xf, yf, d_safe)
+        # padding slots get a finite dummy point at (0, 0, 1): Z must stay
+        # nonzero or 1/Z pollutes the Jacobians with inf/NaN that masking
+        # cannot remove
+        dummy = jnp.array([0.0, 0.0, 1.0], points.dtype)
+        points = jnp.where(sel.valid[:, None], points, dummy)
+        if p.withNormalization:
+            s, c = warp_mod.hartley_normalization(points, sel.valid)
+        else:
+            s, c = warp_mod.identity_normalization(points.dtype)
+        J = warp_mod.jacobian(cam, points, gx, gy, s, c)  # (C, K, 6)
 
     vmask = sel.valid
     pixels = jnp.where(vmask[None, :], pixels, 0.0)
@@ -121,7 +129,8 @@ def set_data(channels, disparity, cam: warp_mod.CameraModel,
 
 
 def compute_residuals(tdata: TemplateData, channels, cam: warp_mod.CameraModel,
-                      T, method: InterpolationType, packed=None):
+                      T, method: InterpolationType, packed=None,
+                      warp: str = "RigidBody"):
     """Photometric residuals r = I1(warp(x)) - I0(x) for all channels.
 
     Counterpart of ``TemplateData::computeResiduals`` + ``PhotoError::init/run``
@@ -139,7 +148,10 @@ def compute_residuals(tdata: TemplateData, channels, cam: warp_mod.CameraModel,
         H, W = packed.H, packed.W
     else:
         _, H, W = channels.shape
-    u, v, Z = warp_mod.project(cam, T, tdata.points)
+    if warp == "DisparitySpace":
+        u, v, Z = warp_mod.disparity_space_project(cam, T, tdata.points)
+    else:
+        u, v, Z = warp_mod.project(cam, T, tdata.points)
     ok = tdata.valid & (Z > 1e-6) & interp.valid_mask(u, v, H, W, method)
     if packed is not None:
         I1 = interp.sample_packed(packed, u, v, ok, method)

@@ -233,3 +233,46 @@ class TestLinearSystem:
         g = jnp.ones(6)
         dp, ok = linear_system.solve(H, g)
         assert np.all(np.isfinite(np.asarray(dp)))
+
+
+def test_recover_synthetic_motion_disparity_space_warp():
+    """GN with warpType=DisparitySpace recovers the same motion as rigid-body
+    (reference WITH_DISPARITY_SPACE_WARP build, disparity_space_warp.h)."""
+    twist = [0.002, -0.003, 0.002, 0.01, -0.01, 0.02]
+    I0, I1, D, cam, T_true = render_pair(twist)
+    p = AlgorithmParameters(minSaliency=2.0, warpType="DisparitySpace")
+    tdata, p = build_template(I0, D, cam, p=p)
+    assert int(tdata.num_valid) > 200
+    # DSW uses no normalization: identity s, c
+    assert float(tdata.norm_scale) == 1.0
+
+    opts = gn.GNOptions(loss=LossFunctionType.HUBER,
+                        function_tolerance=1e-4, parameter_tolerance=1e-6,
+                        warp="DisparitySpace")
+    st = gn.run(tdata, jnp.asarray(I1)[None], cam, jnp.eye(4), opts)
+
+    assert bool(st.solver_ok)
+    T_est = np.asarray(st.T)
+    err_twist = np.asarray(se3.log(jnp.asarray(
+        T_est @ np.linalg.inv(T_true), jnp.float32)))
+    assert np.abs(err_twist[:3]).max() < 5e-4, (err_twist, int(st.num_iters))
+    assert np.abs(err_twist[3:]).max() < 3e-3, (err_twist, int(st.num_iters))
+
+
+def test_disparity_space_warp_end_to_end_vo():
+    """warpType=DisparitySpace through the full VisualOdometry pipeline."""
+    from bpvo_tpu.data.synthetic import SyntheticPlaneDataset
+    from bpvo_tpu.vo.odometry import VisualOdometry
+    ds = SyntheticPlaneDataset(rows=120, cols=160, n_frames=5)
+    p = AlgorithmParameters(minSaliency=2.0, numPyramidLevels=3,
+                            functionTolerance=1e-4,
+                            warpType="DisparitySpace")
+    vo = VisualOdometry(ds.calibration.K, ds.calibration.baseline,
+                        ds.image_size, p)
+    for i in range(5):
+        f = ds.get_frame(i)
+        r = vo.add_frame(f.image, f.disparity)
+    gt = ds.gt_world_pose(4)
+    est = vo.trajectory.back()
+    err = np.linalg.norm(np.asarray(est)[:3, 3] - gt[:3, 3])
+    assert err < 0.005, err

@@ -107,3 +107,55 @@ def test_disparity_space_warp_consistency():
     back = warp.disparity_space_warp_points(cam, se3.inverse(T), out)
     np.testing.assert_allclose(np.asarray(back), np.asarray(xyd), rtol=1e-3,
                                atol=1e-2)
+
+
+def test_disparity_space_project_matches_rigid():
+    """G T G^{-1} on (x-cx, y-cy, d, 1) must land on the same image point as
+    back-project -> T -> project (they parameterize the same warp)."""
+    cam = make_cam()
+    r = np.random.default_rng(3)
+    x = r.uniform(10, 150, 12).astype(np.float32)
+    y = r.uniform(10, 110, 12).astype(np.float32)
+    d = r.uniform(2, 30, 12).astype(np.float32)
+    from bpvo_tpu.core import se3
+    T = se3.exp(jnp.asarray([0.02, -0.01, 0.03, 0.1, -0.05, 0.2], jnp.float32))
+
+    pts3d = warp.make_points(cam, jnp.asarray(x), jnp.asarray(y), jnp.asarray(d))
+    u_r, v_r, Z = warp.project(cam, T, pts3d)
+
+    pts_ds = warp.disparity_space_make_points(
+        cam, jnp.asarray(x), jnp.asarray(y), jnp.asarray(d))
+    u_d, v_d, w = warp.disparity_space_project(cam, T, pts_ds)
+
+    np.testing.assert_allclose(np.asarray(u_d), np.asarray(u_r), rtol=1e-4,
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(v_d), np.asarray(v_r), rtol=1e-4,
+                               atol=5e-3)
+    assert np.all((np.asarray(w) > 0) == (np.asarray(Z) > 0))
+
+
+def test_disparity_space_jacobian_vs_autodiff():
+    """Analytic DSW Jacobian == d/dp [gx*u(p) + gy*v(p)] at p=0 with
+    u, v from disparity_space_project and plain exp updates (no
+    normalization, reference disparity_space_warp.h:79-89)."""
+    cam = make_cam()
+    r = np.random.default_rng(4)
+    x = r.uniform(10, 150, 16).astype(np.float32)
+    y = r.uniform(10, 110, 16).astype(np.float32)
+    d = r.uniform(2, 30, 16).astype(np.float32)
+    pts = warp.disparity_space_make_points(
+        cam, jnp.asarray(x), jnp.asarray(y), jnp.asarray(d))
+    gx = jnp.asarray(r.standard_normal(16).astype(np.float32))
+    gy = jnp.asarray(r.standard_normal(16).astype(np.float32))
+
+    J = warp.disparity_space_jacobian(cam, pts, gx, gy)
+
+    from bpvo_tpu.core import se3
+
+    def warped_intensity_lin(p):
+        u, v, _ = warp.disparity_space_project(cam, se3.exp(p), pts)
+        return gx * u + gy * v
+
+    J_auto = jax.jacobian(warped_intensity_lin)(jnp.zeros(6, jnp.float32))
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_auto), rtol=2e-2,
+                               atol=2e-2)
