@@ -1,15 +1,21 @@
 """End-to-end VO benchmark on the target device (TPU under the driver).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Metric: effective VO frame rate (Hz) on a synthetic 376x1241 KITTI-sized
-sequence with the intensity descriptor — directly comparable to the reference's
-``vo_perf`` 100+ Hz claim on a 2011 dual-core i7 (reference README.md:72,
-apps/vo_perf.cc).  vs_baseline = achieved_hz / 100.
+Headline metric: effective VO frame rate (Hz) on a synthetic 376x1241
+KITTI-sized sequence with the intensity descriptor — directly comparable to
+the reference's ``vo_perf`` 100+ Hz claim on a 2011 dual-core i7 (reference
+README.md:72, apps/vo_perf.cc).  vs_baseline = achieved_hz / 100.
+
+Extra keys (same JSON object) record the 8-channel Bit-Planes descriptor rate
+(the reference's namesake mode, bitplanes_descriptor.cc:84-91) and the spread
+of the measurement (median of N_TIMED chunks + IQR), per VERDICT.md items 2/4.
+A full breakdown is persisted to BENCH_DETAIL.json next to this script.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -18,8 +24,10 @@ BASELINE_HZ = 100.0  # reference vo_perf claim (README.md:72)
 
 # KITTI image size (seq 00)
 ROWS, COLS = 376, 1241
-N_FRAMES = 200      # 1 init + 3 chunks of CHUNK (warmup x2 + timed)
 CHUNK = 60          # scan-mode chunk: amortizes the ~40 ms per-call tunnel RTT
+N_WARMUP_CHUNKS = 2  # 1st pays XLA compile, 2nd settles donated-buffer aliasing
+N_TIMED = 3          # timed chunks; report median + IQR
+N_FRAMES = 1 + (N_WARMUP_CHUNKS + N_TIMED) * CHUNK
 N_WARMUP = 5        # online-mode warmup frames
 
 
@@ -69,23 +77,86 @@ def synthesize_sequence(n_frames, rows=ROWS, cols=COLS):
     return K.astype(np.float32), baseline, frames
 
 
-def main():
-    import os
+def _make_params(descriptor: str):
     from bpvo_tpu import AlgorithmParameters
+    from bpvo_tpu.types import DescriptorType
+    desc = (DescriptorType.BITPLANES if descriptor == "BitPlanes"
+            else DescriptorType.INTENSITY)
+    return AlgorithmParameters(
+        minSaliency=2.0, numPyramidLevels=4, descriptor=desc,
+        functionTolerance=1e-4, parameterTolerance=1e-6, maxIterations=50)
+
+
+def run_scan(K, baseline, images, disps, descriptor: str):
+    """Timed scan-mode run: N_WARMUP_CHUNKS warmups + N_TIMED timed chunks.
+
+    Returns (median_hz, per-chunk Hz list).  The timed region excludes host
+    upload — the sequence is staged in HBM up front; see main() for why.
+    """
     from bpvo_tpu.vo.device_vo import DeviceVO
 
-    # "scan" (default): CHUNK frames per lax.scan dispatch — amortizes the
-    #  per-dispatch RTT of the tunneled backend; measures device throughput.
-    # "online": one jitted step per frame — the low-latency deployment mode;
-    #  on this backend it is dispatch-RTT-bound, not compute-bound.
-    mode = os.environ.get("BPVO_BENCH_MODE", "scan")
+    vo = DeviceVO(K, baseline, (ROWS, COLS), _make_params(descriptor))
+    c = CHUNK
+    # warmup chunks of the SAME length as the timed chunk: the first pays the
+    # XLA compile, the second settles donated-buffer aliasing (the first
+    # donated call can trigger a one-off ~0.5 s relayout).
+    vo.add_frames(images[:c + 1], disps[:c + 1])       # init + c steps
+    np.asarray(vo.state.pose_world)
+    for k in range(1, N_WARMUP_CHUNKS):
+        vo.add_frames(images[k * c + 1:(k + 1) * c + 1],
+                      disps[k * c + 1:(k + 1) * c + 1])
+        np.asarray(vo.state.pose_world)
 
-    n_frames = N_FRAMES if mode == "scan" else 30
-    K, baseline, frames = synthesize_sequence(n_frames)
-    p = AlgorithmParameters(
-        minSaliency=2.0, numPyramidLevels=4,
-        functionTolerance=1e-4, parameterTolerance=1e-6, maxIterations=50)
-    vo = DeviceVO(K, baseline, (ROWS, COLS), p)
+    hz_chunks = []
+    poses = None
+    for k in range(N_WARMUP_CHUNKS, N_WARMUP_CHUNKS + N_TIMED):
+        lo, hi = k * c + 1, (k + 1) * c + 1
+        t0 = time.perf_counter()
+        outs = vo.add_frames(images[lo:hi], disps[lo:hi])
+        poses = np.asarray(outs.pose_world)   # forces device sync (fetch)
+        dt = time.perf_counter() - t0
+        hz_chunks.append(c / dt)
+    assert np.all(np.isfinite(poses)), "non-finite trajectory"
+    del vo
+    return float(np.median(hz_chunks)), [round(h, 2) for h in hz_chunks]
+
+
+def run_online(K, baseline, images, disps):
+    """Online mode: one jitted step per frame (latency-oriented deployment);
+    on the tunneled backend this is dispatch-RTT-bound, not compute-bound."""
+    import jax
+    from bpvo_tpu.vo.device_vo import DeviceVO
+
+    n_frames = min(30, images.shape[0])
+    vo = DeviceVO(K, baseline, (ROWS, COLS), _make_params("Intensity"))
+    # Per-frame device arrays: indexing the stacked array inside the loop
+    # would launch one extra slice dispatch per frame.
+    frame_list = [(jax.device_put(images[i]), jax.device_put(disps[i]))
+                  for i in range(n_frames)]
+    out = None
+    for i in range(N_WARMUP):
+        out = vo.add_frame(*frame_list[i])
+    if out is not None:
+        np.asarray(out.pose)
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(N_WARMUP, n_frames):
+        out = vo.add_frame(*frame_list[i])
+        n += 1
+    poses = np.asarray(out.pose_world)
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(poses))
+    return n / dt
+
+
+def main():
+    # BPVO_BENCH_MODE: "scan" (default, device-throughput) | "online"
+    # BPVO_BENCH_DESCRIPTORS: comma list, default "Intensity,BitPlanes"
+    mode = os.environ.get("BPVO_BENCH_MODE", "scan")
+    descs = os.environ.get("BPVO_BENCH_DESCRIPTORS",
+                           "Intensity,BitPlanes").split(",")
+
+    K, baseline, frames = synthesize_sequence(N_FRAMES)
 
     # Stage the sequence in HBM before the timed region.  The driver's
     # host<->device link is a ~50 MB/s relay tunnel (measured; a real v5e
@@ -100,48 +171,46 @@ def main():
         np.stack([f[0] for f in frames]), jnp.float32))
     disps = jax.device_put(jnp.asarray(
         np.stack([f[1] for f in frames]), jnp.float32))
-    if mode == "scan":
-        # Two warmup chunks of the SAME length as the timed chunk: the first
-        # pays the XLA compile, the second settles donated-buffer aliasing
-        # (the first donated call can trigger a one-off ~0.5 s relayout).
-        c = CHUNK
-        vo.add_frames(images[:c + 1], disps[:c + 1])       # init + c steps
-        np.asarray(vo.state.pose_world)
-        vo.add_frames(images[c + 1:2 * c + 1], disps[c + 1:2 * c + 1])
-        np.asarray(vo.state.pose_world)
-        t0 = time.perf_counter()
-        outs = vo.add_frames(images[2 * c + 1:3 * c + 1],
-                             disps[2 * c + 1:3 * c + 1])
-        poses = np.asarray(outs.pose_world)
-        dt = time.perf_counter() - t0
-        n = c
-    else:
-        # Per-frame device arrays: indexing the stacked array inside the loop
-        # would launch one extra slice dispatch per frame (~1.7 ms on this
-        # backend — comparable to the whole VO step).
-        frame_list = [(jax.device_put(images[i]), jax.device_put(disps[i]))
-                      for i in range(n_frames)]
-        for i in range(N_WARMUP):
-            out = vo.add_frame(*frame_list[i])
-        if out is not None:
-            np.asarray(out.pose)
-        t0 = time.perf_counter()
-        n = 0
-        poses = None
-        for i in range(N_WARMUP, n_frames):
-            out = vo.add_frame(*frame_list[i])
-            n += 1
-        poses = np.asarray(out.pose_world)
-        dt = time.perf_counter() - t0
-    assert np.all(np.isfinite(poses)), "non-finite trajectory"
+    del frames
 
-    hz = n / dt
-    print(json.dumps({
-        "metric": "vo_frame_rate_synth_kitti_intensity",
-        "value": round(hz, 2),
-        "unit": "Hz",
-        "vs_baseline": round(hz / BASELINE_HZ, 3),
-    }))
+    detail = {"mode": mode, "chunk": CHUNK, "n_timed": N_TIMED}
+    if mode == "online":
+        hz = run_online(K, baseline, images, disps)
+        result = {
+            "metric": "vo_frame_rate_synth_kitti_intensity_online",
+            "value": round(hz, 2), "unit": "Hz",
+            "vs_baseline": round(hz / BASELINE_HZ, 3),
+        }
+    else:
+        hz_by_desc = {}
+        for d in descs:
+            d = d.strip()
+            med, chunks = run_scan(K, baseline, images, disps, d)
+            hz_by_desc[d] = med
+            q1, q3 = np.percentile(chunks, [25, 75])
+            detail[d] = {"median_hz": round(med, 2), "chunks_hz": chunks,
+                         "iqr_hz": round(float(q3 - q1), 2)}
+        hz = hz_by_desc.get("Intensity", next(iter(hz_by_desc.values())))
+        result = {
+            "metric": "vo_frame_rate_synth_kitti_intensity",
+            "value": round(hz, 2), "unit": "Hz",
+            "vs_baseline": round(hz / BASELINE_HZ, 3),
+        }
+        if "Intensity" in detail:
+            result["intensity_chunks_hz"] = detail["Intensity"]["chunks_hz"]
+            result["intensity_iqr_hz"] = detail["Intensity"]["iqr_hz"]
+        if "BitPlanes" in hz_by_desc:
+            result["bitplanes_hz"] = round(hz_by_desc["BitPlanes"], 2)
+            result["bitplanes_vs_baseline"] = round(
+                hz_by_desc["BitPlanes"] / BASELINE_HZ, 3)
+
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
