@@ -102,7 +102,11 @@ def _build_templates(channels_pyr, disparity, cams, p, capacities):
 
 def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
               max_test_level, good_threshold, min_points: int = 0,
-              solver: str = "GaussNewton"):
+              solver: str = "GaussNewton", linearize_factory=None,
+              count_reduce=None):
+    """``linearize_factory(level, tdata, channels, cam, opts)`` may return a
+    custom linearize_fn (the distributed path injects a psum-reducing one);
+    ``count_reduce`` reduces scalar counts across shards (default identity)."""
     n_levels = len(channels_pyr)
     T = T_init
     iters = [jnp.asarray(0, jnp.int32)] * n_levels
@@ -114,8 +118,12 @@ def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
         run_level = gn.run
     finest = None
     for level in range(n_levels - 1, max_test_level - 1, -1):
+        lin = (linearize_factory(level, templates[level], channels_pyr[level],
+                                 cams[level], opts_per_level[level])
+               if linearize_factory is not None else None)
         st = run_level(templates[level], channels_pyr[level], cams[level], T,
-                       opts_per_level[level])
+                       opts_per_level[level],
+                       **({"linearize_fn": lin} if lin is not None else {}))
         # minNumPixelsToWork guard (branchless; reference types.h:352-357)
         enough = templates[level].num_valid >= min_points
         st = st._replace(T=jnp.where(enough, st.T, T),
@@ -125,8 +133,11 @@ def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
         fs[level] = st.f_norm
         finest = st
     td = templates[max_test_level]
-    frac = gn.fraction_of_good_points(
-        finest.weights, td.num_channels, td.num_valid, good_threshold)
+    n_good = jnp.sum(finest.weights > good_threshold)
+    if count_reduce is not None:
+        n_good = count_reduce(n_good)
+    denom = jnp.maximum(td.num_channels * td.num_valid, 1)
+    frac = n_good.astype(jnp.float32) / denom.astype(jnp.float32)
     return T, jnp.stack(iters), jnp.stack(fs), frac, finest.H
 
 
@@ -149,15 +160,26 @@ def _keyframe_reason(T_est, frac_good, p: AlgorithmParameters):
 
 
 def make_vo_step(p: AlgorithmParameters, cams, capacities,
-                 opts_per_level: Tuple[gn.GNOptions, ...]):
+                 opts_per_level: Tuple[gn.GNOptions, ...],
+                 linearize_factory=None, build_templates_fn=None,
+                 count_reduce=None):
     """Build the pure step function (state, image, disparity) -> (state, out).
 
     All configuration is closed over statically; the returned function is
-    jit/scan/shard_map-compatible.
+    jit/scan/shard_map-compatible.  The three optional hooks let the
+    distributed layer (bpvo_tpu/parallel/sharded_vo.py) run this exact step
+    under shard_map with the point axis sharded: ``linearize_factory``
+    injects the psum-reducing GN linearization, ``build_templates_fn``
+    replaces the template build with the shard-sliced variant, and
+    ``count_reduce`` makes the good-point fraction global.
     """
     n_levels = p.numPyramidLevels
     cams = tuple(cams)
     capacities = tuple(capacities)
+    if build_templates_fn is None:
+        def build_templates_fn(channels_pyr, disparity):
+            return _build_templates(channels_pyr, disparity, cams, p,
+                                    capacities)
 
     def step(state: VOState, image, disparity):
         channels = _compute_channels_pyr(image.astype(jnp.float32), p, n_levels)
@@ -171,7 +193,7 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
         T_est, iters, fs, frac, H = _estimate(
             state.templates, channels, cams, T_init, opts_per_level,
             p.maxTestLevel, p.goodPointThreshold, p.minNumPixelsToWork,
-            p.poseEstimator)
+            p.poseEstimator, linearize_factory, count_reduce)
 
         reason = _keyframe_reason(T_est, frac, p)
         is_kf = reason != KF_NONE
@@ -198,8 +220,7 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
                 state.prev_channels, channels)
             src_disparity = jnp.where(has_prev, state.prev_disparity,
                                       disparity)
-            templates = _build_templates(src_channels, src_disparity, cams, p,
-                                         capacities)
+            templates = build_templates_fn(src_channels, src_disparity)
             # re-estimation against the new keyframe; when the keyframe IS the
             # current frame this converges to ~identity in one iteration and
             # its result is unused.  The candidate is the previous frame, so
@@ -209,7 +230,8 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
             T2, it2, fs2, _frac2, _H2 = _estimate(
                 templates, channels, cams, T2_init,
                 opts_per_level, p.maxTestLevel, p.goodPointThreshold,
-                p.minNumPixelsToWork, p.poseEstimator)
+                p.minNumPixelsToWork, p.poseEstimator, linearize_factory,
+                count_reduce)
             pose = jnp.where(has_prev, T2,
                              T_est @ _rigid_inverse(state.T_kf))
             T_kf_new = jnp.where(has_prev, T2, jnp.eye(4, dtype=jnp.float32))

@@ -77,11 +77,17 @@ def _channel_gradients(channels, rows, cols, method: GradientEstimationType):
     return gx, gy
 
 
-def set_data(channels, disparity, cam: warp_mod.CameraModel,
-             p: AlgorithmParameters, capacity: int, level: int) -> TemplateData:
-    """Build a template from descriptor channels (C, H, W) and the *level-strided*
-    disparity map (H, W) (full-resolution disparity values; see
-    ``imgproc.disparity_at_level``). jit-compile with static (p, capacity, level).
+def select_and_backproject(channels, disparity, cam: warp_mod.CameraModel,
+                           p: AlgorithmParameters, capacity: int):
+    """Stage 1 of template construction: pixel selection + 3D back-projection
+    + Hartley normalization (reference template_data.cc:39-92).
+
+    Cheap relative to stage 2 (O(K) math vs O(C*K) gathers + Jacobians); the
+    distributed path runs it replicated on every device and shards only
+    stage 2 (bpvo_tpu/parallel/sharded_vo.py), which preserves exact
+    single-device selection semantics.
+
+    Returns (sel, points (K,3), norm_scale, norm_center).
     """
     C, H, W = channels.shape
     sal = descriptors.saliency(channels)
@@ -96,15 +102,12 @@ def set_data(channels, disparity, cam: warp_mod.CameraModel,
     d_safe = jnp.where(sel.valid, sel.disparity, 1.0)
     xf = sel.cols.astype(jnp.float32)
     yf = sel.rows.astype(jnp.float32)
-    pixels = _gather_at(channels, sel.rows, sel.cols)
-    gx, gy = _channel_gradients(channels, sel.rows, sel.cols, p.gradientEstimation)
 
     if p.warpType == "DisparitySpace":
         # disparity-space parameterization: points = (x-cx, y-cy, d), no
         # Hartley normalization (reference disparity_space_warp.h:86-89)
         points = warp_mod.disparity_space_make_points(cam, xf, yf, d_safe)
         s, c = warp_mod.identity_normalization(points.dtype)
-        J = warp_mod.disparity_space_jacobian(cam, points, gx, gy)
     else:
         points = warp_mod.make_points(cam, xf, yf, d_safe)
         # padding slots get a finite dummy point at (0, 0, 1): Z must stay
@@ -116,16 +119,38 @@ def set_data(channels, disparity, cam: warp_mod.CameraModel,
             s, c = warp_mod.hartley_normalization(points, sel.valid)
         else:
             s, c = warp_mod.identity_normalization(points.dtype)
-        J = warp_mod.jacobian(cam, points, gx, gy, s, c)  # (C, K, 6)
+    return sel, points, s, c
 
-    vmask = sel.valid
+
+def build_from_selection(channels, cam: warp_mod.CameraModel,
+                         p: AlgorithmParameters, rows, cols, vmask, num_valid,
+                         points, s, c) -> TemplateData:
+    """Stage 2 of template construction: per-point descriptor gathers, CD3/CD5
+    gradients, and analytic Jacobians (reference template_data.cc:102-141).
+    All inputs along the point axis may be a shard of the full selection."""
+    pixels = _gather_at(channels, rows, cols)
+    gx, gy = _channel_gradients(channels, rows, cols, p.gradientEstimation)
+    if p.warpType == "DisparitySpace":
+        J = warp_mod.disparity_space_jacobian(cam, points, gx, gy)
+    else:
+        J = warp_mod.jacobian(cam, points, gx, gy, s, c)  # (C, K, 6)
     pixels = jnp.where(vmask[None, :], pixels, 0.0)
     J = jnp.where(vmask[None, :, None], J, 0.0)
-
     return TemplateData(points=points, pixels=pixels, jacobians=J,
-                        valid=vmask, num_valid=sel.num_valid,
-                        norm_scale=s, norm_center=c,
-                        rows=sel.rows, cols=sel.cols)
+                        valid=vmask, num_valid=num_valid,
+                        norm_scale=s, norm_center=c, rows=rows, cols=cols)
+
+
+def set_data(channels, disparity, cam: warp_mod.CameraModel,
+             p: AlgorithmParameters, capacity: int, level: int) -> TemplateData:
+    """Build a template from descriptor channels (C, H, W) and the *level-strided*
+    disparity map (H, W) (full-resolution disparity values; see
+    ``imgproc.disparity_at_level``). jit-compile with static (p, capacity, level).
+    """
+    sel, points, s, c = select_and_backproject(channels, disparity, cam, p,
+                                               capacity)
+    return build_from_selection(channels, cam, p, sel.rows, sel.cols,
+                                sel.valid, sel.num_valid, points, s, c)
 
 
 def compute_residuals(tdata: TemplateData, channels, cam: warp_mod.CameraModel,

@@ -73,3 +73,80 @@ def test_sharded_weights_stay_sharded(mesh):
     # the weights output is distributed over the point axis
     w_sharding = st.weights.sharding
     assert sharded.POINT_AXIS in str(w_sharding.spec)
+
+
+# ---------------------------------------------------------------------------
+# full VO step under the mesh (parallel/sharded_vo.py)
+# ---------------------------------------------------------------------------
+
+def _vo_params(**kw):
+    base = dict(minSaliency=2.0, numPyramidLevels=3, pointCapacity=2048,
+                pointCapacityMin=256, functionTolerance=1e-4,
+                parameterTolerance=1e-6, maxIterations=50)
+    base.update(kw)
+    return AlgorithmParameters(**base)
+
+
+def test_sharded_vo_step_matches_single_device(mesh):
+    """The whole per-frame pipeline (descriptors -> coarse-to-fine GN ->
+    keyframe cond -> template rebuild) under shard_map must track the
+    single-device DeviceVO, including across a keyframe event."""
+    from test_gn import H_IMG, W_IMG, make_cam
+    from test_odometry import make_sequence
+    from bpvo_tpu.parallel import sharded_vo
+    from bpvo_tpu.vo.device_vo import DeviceVO
+
+    # translation large enough to force a keyframe mid-sequence
+    p = _vo_params(minTranslationMagToKeyFrame=0.04)
+    step = [0, 0, 0, 0.0, 0.0, 0.011]
+    frames = make_sequence(step, 7)
+    cam = make_cam()
+    K = np.asarray(cam.K())
+
+    vo = DeviceVO(K, float(cam.baseline), (H_IMG, W_IMG), p)
+    single = []
+    for I, D in frames:
+        out = vo.add_frame(I, D)
+        if out is not None:
+            single.append(out)
+    assert any(bool(o.is_keyframe) for o in single), "no keyframe exercised"
+
+    init_fn, step_fn, _ = sharded_vo.make_sharded_vo(
+        mesh, K, float(cam.baseline), (H_IMG, W_IMG), p)
+    state = init_fn(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]))
+    for (I, D), ref in zip(frames[1:], single):
+        state, out = step_fn(state, jnp.asarray(I), jnp.asarray(D))
+        np.testing.assert_allclose(np.asarray(out.pose),
+                                   np.asarray(ref.pose), atol=2e-4)
+        assert bool(out.is_keyframe) == bool(ref.is_keyframe)
+    # templates stay sharded over the point axis
+    spec = state.templates[0].pixels.sharding.spec
+    assert sharded.POINT_AXIS in str(spec)
+
+
+def test_sharded_vo_scan_chunk(mesh):
+    """Chunk (lax.scan) mode inside shard_map matches per-step calls."""
+    from test_gn import H_IMG, W_IMG, make_cam
+    from test_odometry import make_sequence
+    from bpvo_tpu.parallel import sharded_vo
+
+    p = _vo_params()
+    frames = make_sequence([0, 0, 0, 0.003, 0.001, 0.006], 5)
+    cam = make_cam()
+    K = np.asarray(cam.K())
+    init_fn, step_fn, scan_fn = sharded_vo.make_sharded_vo(
+        mesh, K, float(cam.baseline), (H_IMG, W_IMG), p)
+
+    state = init_fn(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]))
+    poses_step = []
+    for I, D in frames[1:]:
+        state, out = step_fn(state, jnp.asarray(I), jnp.asarray(D))
+        poses_step.append(np.asarray(out.pose))
+
+    state2 = init_fn(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]))
+    images = jnp.asarray(np.stack([f[0] for f in frames[1:]]))
+    disps = jnp.asarray(np.stack([f[1] for f in frames[1:]]))
+    state2, outs = scan_fn(state2, images, disps)
+    poses_scan = np.asarray(outs.pose)
+    for a, b in zip(poses_step, poses_scan):
+        np.testing.assert_allclose(a, b, atol=1e-5)
