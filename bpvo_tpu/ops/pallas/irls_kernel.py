@@ -45,20 +45,29 @@ def _irls_kernel(sigma_ref, J_ref, r_ref, valid_ref, out_ref, acc_ref, *,
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     J = J_ref[:]           # (8, B): rows 0..5 are Jacobian components
-    r = r_ref[:]           # (8, B): row 0 is the residual
-    v = valid_ref[:]       # (8, B): row 0 is the valid mask
+    r = r_ref[:]           # (8, B): row 0 is the residual (broadcast)
+    v = valid_ref[:]       # (8, B): row 0 is the valid mask (broadcast)
     sigma = sigma_ref[0]
-    w = _weight(r[0] / sigma, loss) * v[0]          # (B,)
-    Jw = J * w[None, :]
-    # 8x8 block: [0:6,0:6] = J^T W J, column 6 = J^T W r (via r in row 6)
-    rhs = J.at[6, :].set(r[0]).at[7, :].set(r[0] * r[0])
+    w = _weight(r / sigma, loss) * v                 # (8, B), rows identical
+    Jw = J * w
+    # rhs rows: 0..5 = J (rows 6,7 of J are zero padding), 6 = r, 7 = r^2.
+    # Row placement via iota+where — .at[].set() lowers to scatter, which
+    # Mosaic does not implement (probed on device, docs/PALLAS_TPU.json).
+    rid = jax.lax.broadcasted_iota(jnp.int32, J.shape, 0)
+    rhs = jnp.where(rid == 6, r, jnp.where(rid == 7, r * r, J))
     block = jax.lax.dot_general(
         Jw, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (8, 8)
-    # row 7 of Jw is zero padding; add f = sum(w * r^2) separately
-    f = jnp.sum(w * r[0] * r[0])
-    acc_ref[:8, :8] += block
-    acc_ref[7, 8] += f
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # (8, 8)
+    # block[0:6, 0:6] = J^T W J, block[0:6, 6] = J^T W r; rows 6,7 of block
+    # are zero (Jw rows 6,7 are zero padding).  f = sum(w r^2) is placed at
+    # [7, 7] with a masked select for the same no-scatter reason.
+    f = jnp.sum(w[0] * r[0] * r[0])
+    cid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    rid128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    upd = jnp.pad(block, ((0, 0), (0, 120)))
+    upd = jnp.where((rid128 == 7) & (cid == 7), f, upd)
+    acc_ref[:, :] += upd
 
     @pl.when(k == nk - 1)
     def _():
@@ -105,5 +114,5 @@ def irls_reduce(J6, r, valid, sigma, loss: str = "Tukey",
 
     H = out[:6, :6]
     g = out[:6, 6]
-    f_sq = out[7, 8]
+    f_sq = out[7, 7]
     return H, g, f_sq

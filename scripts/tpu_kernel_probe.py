@@ -134,7 +134,7 @@ def probe_irls():
 
 
 def probe_census():
-    from bpvo_tpu.ops.pallas.census_kernel import census_planes as pl_census
+    from bpvo_tpu.ops.pallas.census_kernel import census_planes_pallas as pl_census
     from bpvo_tpu.ops import census as census_mod
 
     img = jnp.asarray(rng.integers(0, 255, (H, W)), jnp.float32)
