@@ -61,11 +61,14 @@ def _irls_kernel(sigma_ref, J_ref, r_ref, valid_ref, out_ref, acc_ref, *,
         precision=jax.lax.Precision.HIGHEST)          # (8, 8)
     # block[0:6, 0:6] = J^T W J, block[0:6, 6] = J^T W r; rows 6,7 of block
     # are zero (Jw rows 6,7 are zero padding).  f = sum(w r^2) is placed at
-    # [7, 7] with a masked select for the same no-scatter reason.
+    # [7, 7] with a masked select for the same no-scatter reason.  Column 7
+    # of rows 0..5 would accumulate a meaningless sum(w J r^2) — zero it so
+    # every cell of `out` is either defined or 0 (ADVICE.md round 2).
     f = jnp.sum(w[0] * r[0] * r[0])
     cid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     rid128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     upd = jnp.pad(block, ((0, 0), (0, 120)))
+    upd = jnp.where((cid == 7) & (rid128 != 7), 0.0, upd)
     upd = jnp.where((rid128 == 7) & (cid == 7), f, upd)
     acc_ref[:, :] += upd
 

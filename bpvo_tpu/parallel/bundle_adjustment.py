@@ -380,6 +380,120 @@ def make_sharded_ba(mesh, opts: BAOptions, m_keyframes: int):
     return jax.jit(fn)
 
 
+def _assemble_kf_sharded(templates_loc: TemplateData, channels, cam, poses,
+                         opts: BAOptions, m_global: int,
+                         kf_axis: str, point_axis: str):
+    """Edge assembly with the keyframe window axis sharded across ``kf_axis``.
+
+    ``templates_loc`` holds this shard's (M/kf, ...) keyframes (points also
+    sharded along ``point_axis``); ``channels``/``poses`` are replicated.
+    Each shard processes the outgoing edges of ITS keyframes — the neighbor
+    index j is dynamic (depends on the shard's position), so channel frames
+    are fetched with a dynamic index and out-of-window edges are masked
+    rather than skipped.  One psum over BOTH axes makes H/g/σ global.
+    """
+    m_loc = templates_loc.points.shape[0]
+    loss = (LossFunctionType.TUKEY if opts.loss == "Tukey"
+            else LossFunctionType.HUBER)
+    kf_idx = jax.lax.axis_index(kf_axis)
+    axes = (kf_axis, point_axis)
+
+    # pass 1: residuals for every (local i, offset) edge
+    edge_data = []
+    for i_loc in range(m_loc):
+        i_glob = kf_idx * m_loc + i_loc
+        td_i = jax.tree.map(lambda x: x[i_loc], templates_loc)
+        pose_i = jax.lax.dynamic_index_in_dim(poses, i_glob, 0,
+                                              keepdims=False)
+        for off in range(-opts.edge_radius, opts.edge_radius + 1):
+            if off == 0:
+                continue
+            j = i_glob + off
+            edge_ok = (j >= 0) & (j < m_global)
+            jc = jnp.clip(j, 0, m_global - 1)
+            pose_j = jax.lax.dynamic_index_in_dim(poses, jc, 0,
+                                                  keepdims=False)
+            ch_j = jax.lax.dynamic_index_in_dim(channels, jc, 0,
+                                                keepdims=False)
+            T_rel = pose_j @ se3.inverse(pose_i)
+            r, valid = td_mod.compute_residuals(td_i, ch_j, cam, T_rel,
+                                                opts.interp)
+            valid = valid & edge_ok
+            r = r * valid[None, :]
+            edge_data.append((i_glob, jc, td_i, pose_i, r, valid))
+
+    sigma = _global_sigma(
+        jnp.concatenate([jnp.abs(r[0]) for (*_, r, _) in edge_data]),
+        jnp.concatenate([v for (*_, v) in edge_data]), axes)
+
+    # pass 2: weight + reduce into dynamically-indexed blocks
+    H = jnp.zeros((m_global, 6, m_global, 6), jnp.float32)
+    g = jnp.zeros((m_global, 6), jnp.float32)
+    f_sq = jnp.asarray(0.0, jnp.float32)
+    for (i_glob, jc, td_i, pose_i, r, valid) in edge_data:
+        w = mestimator.compute_weights(loss, r, valid[None, :], sigma)
+        Jf = td_i.jacobians.reshape(-1, 6)
+        rf = r.reshape(-1)
+        wf = w.reshape(-1)
+        Jw = Jf * wf[:, None]
+        S = jnp.dot(Jw.T, Jf, preferred_element_type=jnp.float32)
+        b = jnp.dot(Jw.T, rf, preferred_element_type=jnp.float32)
+        G = warp_mod.normalization_matrix(td_i.norm_scale,
+                                          td_i.norm_center) @ pose_i
+        A = adjoint_similarity(G, td_i.norm_scale)
+        B = A.T @ S @ A
+        be = A.T @ b
+        # dynamic scatter-add into the block system (i_glob/jc are traced)
+        H = H.at[jc, :, jc, :].add(B)
+        H = H.at[i_glob, :, i_glob, :].add(B)
+        H = H.at[i_glob, :, jc, :].add(-B)
+        H = H.at[jc, :, i_glob, :].add(-B)
+        g = g.at[jc].add(be)
+        g = g.at[i_glob].add(-be)
+        f_sq = f_sq + jnp.sum(wf * rf * rf)
+
+    H, g, f_sq = jax.lax.psum((H, g, f_sq), axes)
+    return H, g, f_sq
+
+
+def make_sharded_ba_2d(mesh, opts: BAOptions, m_keyframes: int):
+    """Distributed BA on a 2-D (kf, points) mesh: the keyframe-window axis is
+    a REAL mesh axis (multihost.global_mesh's cross-host placement), templates
+    sharded (kf, points), channels/poses replicated, block system psum'd over
+    both axes each iteration.  Matches ``ba_solve`` (pose-only) numerically.
+    """
+    from bpvo_tpu.parallel import sharded
+    from bpvo_tpu.parallel.multihost import KEYFRAME_AXIS
+
+    kf_size = mesh.shape[KEYFRAME_AXIS]
+    assert m_keyframes % kf_size == 0, (m_keyframes, kf_size)
+    tmpl_spec = jax.tree.map(
+        lambda s: P(*((KEYFRAME_AXIS,) + tuple(s))), sharded.template_spec())
+
+    def body(templates_loc, channels, cam, poses):
+        def iteration(carry, _):
+            poses, _prev = carry
+            H, g, f_sq = _assemble_kf_sharded(
+                templates_loc, channels, cam, poses, opts, m_keyframes,
+                KEYFRAME_AXIS, sharded.POINT_AXIS)
+            delta = _solve_pose_system(H, g, opts)
+            new_poses = jnp.einsum("mij,mjk->mik", poses, se3.exp(delta))
+            return (new_poses, f_sq), f_sq
+
+        (poses, cost), _ = jax.lax.scan(
+            iteration, (jnp.asarray(poses, jnp.float32),
+                        jnp.asarray(jnp.inf, jnp.float32)),
+            None, length=opts.max_iterations)
+        return poses, cost
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(tmpl_spec, P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(fn)
+
+
 def stack_templates(templates: Sequence[TemplateData]) -> TemplateData:
     """Stack per-keyframe templates (equal capacity) along a window axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *templates)

@@ -35,6 +35,7 @@ def main(coordinator: str, num_procs: int, pid: int) -> None:
                          num_processes=num_procs, process_id=pid)
     info = multihost.process_info()
     assert info["process_count"] == num_procs, info
+    assert info["process_index"] == pid, info  # coordinator assignment check
     assert info["global_devices"] == 2 * num_procs, info
 
     import numpy as np
@@ -44,7 +45,7 @@ def main(coordinator: str, num_procs: int, pid: int) -> None:
     from bpvo_tpu.solver import gauss_newton as gn
 
     # identical seed => identical host data on every process
-    tdata, channels, cam, p = _synthetic_problem(96, 128, 512, seed=3)
+    tdata, channels, cam, _ = _synthetic_problem(96, 128, 512, seed=3)
     opts = gn.GNOptions(max_iterations=20, function_tolerance=1e-5,
                         parameter_tolerance=1e-7)
 

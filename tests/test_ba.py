@@ -129,6 +129,39 @@ def test_sharded_ba_matches_single(window):
     assert err.max() < 2e-3, err
 
 
+def test_2d_kf_points_mesh_ba_matches_single(window):
+    """The keyframe-window axis as a REAL mesh axis: BA on a (kf=2, points=4)
+    mesh must match both the 1-D point-sharded runner and single-device
+    (VERDICT round-2 item 4; multihost.global_mesh's cross-host layout)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bpvo_tpu.parallel import multihost
+    cam, poses_gt, templates, channels = window
+    poses0 = jnp.asarray(np.stack(perturb(poses_gt)))
+    stacked = ba.stack_templates(templates)
+    ch = jnp.stack(channels)
+    opts = ba.BAOptions(max_iterations=6)
+
+    single, cost_single = jax.jit(
+        lambda t, c, p: ba.ba_solve(t, c, cam, p, opts))(stacked, ch, poses0)
+
+    mesh2d = multihost.global_mesh(kf_axis_size=2)
+    assert mesh2d.shape == {"kf": 2, "points": 4}
+    runner2d = ba.make_sharded_ba_2d(mesh2d, opts, M)
+    multi2d, cost2d = runner2d(stacked, ch, cam, poses0)
+
+    np.testing.assert_allclose(np.asarray(multi2d), np.asarray(single),
+                               atol=5e-4)
+    np.testing.assert_allclose(float(cost2d), float(cost_single), rtol=1e-3)
+    err = pose_errors(np.asarray(multi2d), poses_gt)
+    assert err.max() < 2e-3, err
+
+    # the kf axis must actually carry a collective in the compiled step
+    lowered = runner2d.lower(stacked, ch, cam, poses0).as_text()
+    assert "kf" in lowered and "all_reduce" in lowered.replace(
+        "all-reduce", "all_reduce")
+
+
 def test_keyframe_window_host_api(window):
     cam, poses_gt, templates, channels = window
     win = ba.KeyframeWindow(max_keyframes=M, cam=cam,

@@ -19,8 +19,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_gn():
-    port = _free_port()
+def _run_workers(port: int):
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -42,6 +41,19 @@ def test_two_process_sharded_gn():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs
+
+
+def test_two_process_sharded_gn():
+    # _free_port closes its socket before the workers bind it — a TOCTOU
+    # window another process could steal.  One retry with a fresh port
+    # removes the (rare) flake (ADVICE.md round 2).
+    for attempt in range(2):
+        procs, outs = _run_workers(_free_port())
+        bind_race = any(p.returncode != 0 and "bind" in out.lower()
+                        for p, out in zip(procs, outs))
+        if not bind_race or attempt == 1:
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"MULTIPROC_OK pid={pid} procs=2 devices=4" in out, \
