@@ -32,9 +32,18 @@ N_WARMUP = 5        # online-mode warmup frames
 
 
 def synthesize_sequence(n_frames, rows=ROWS, cols=COLS):
-    """Plane scene with analytic texture, constant forward+lateral motion."""
+    """Plane scene with non-periodic value-noise texture, constant
+    forward+lateral motion.
+
+    Round 3: the previous analytic sinusoid texture (7-13 px periods) was
+    globally self-similar — the tracker alias-locked onto a wrong motion one
+    texture period away and collapsed into keyframing every frame, which was
+    the entire round-2 within-run decay (docs/PERFORMANCE.md).  Value noise
+    has no translation symmetry, like real imagery.
+    """
     import jax.numpy as jnp
     from bpvo_tpu.core import se3
+    from bpvo_tpu.data.synthetic import value_noise_texture as texture
 
     fx = 718.856
     K = np.array([[fx, 0, cols / 2.0], [0, fx, rows / 2.0], [0, 0, 1]],
@@ -44,10 +53,6 @@ def synthesize_sequence(n_frames, rows=ROWS, cols=COLS):
     n_pl /= np.linalg.norm(n_pl)
     z0 = 8.0
     d_pl = z0 * n_pl[2]
-
-    def texture(x, y):
-        return (128 + 60 * np.sin(x / 7.0) * np.cos(y / 9.0)
-                + 40 * np.sin((x + 2 * y) / 13.0))
 
     step = np.asarray(se3.exp(jnp.asarray(
         [0.0005, 0.001, 0.0008, 0.006, 0.002, 0.03], jnp.float32)),

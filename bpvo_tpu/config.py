@@ -186,11 +186,15 @@ class AlgorithmParameters:
     # Number of devices to shard template points over (1 = single chip).
     numShards: int = 1
     # Constant-velocity motion model: warm-start each frame's GN at
-    # T_delta_prev @ T_kf instead of T_kf.  The optimum is unchanged (same
-    # convergence tests on the same objective); fewer iterations are needed
-    # when motion is roughly smooth.  The reference always starts at T_kf
-    # (vo.cc:144-146).
-    withMotionModel: bool = True
+    # T_delta_prev @ T_kf instead of T_kf, and the post-keyframe re-estimate
+    # at T_delta_prev instead of Identity.  Fewer iterations when motion is
+    # smooth, BUT extrapolating a bad estimate can lock the solver into a
+    # false photometric minimum on self-similar texture (measured: permanent
+    # keyframe-every-frame aliasing on a periodic synthetic scene,
+    # docs/PERFORMANCE.md round 3).  Default False = the reference's
+    # zero-velocity warm start (vo.cc:144-146) + Identity re-estimate init
+    # (vo.cc:183-185).
+    withMotionModel: bool = False
 
     def replace(self, **kw) -> "AlgorithmParameters":
         return dataclasses.replace(self, **kw)

@@ -15,6 +15,48 @@ from bpvo_tpu.config import ConfigFile
 from bpvo_tpu.data.dataset import Dataset, DatasetFrame, StereoCalibration
 
 
+_NOISE_GRIDS = {}
+
+
+def value_noise_texture(x, y, seed: int = 7):
+    """Non-periodic procedural texture: two octaves of smoothed random noise,
+    bilinearly sampled at arbitrary (x, y).
+
+    The analytic sinusoid textures below are GLOBALLY self-similar (7-13 px
+    periods), which gives the photometric cost false minima one texture period
+    apart — a direct tracker can alias-lock onto a wrong, self-consistent
+    motion (measured: bench pose drift 0.03 -> 0.25 with permanent
+    keyframe-every-frame collapse, docs/PERFORMANCE.md round 3).  Real imagery
+    has no such global translation symmetry; this texture restores that
+    property while staying deterministic and evaluable at warped coordinates.
+    Wrap period is the 2048-px grid, far beyond any rendered extent.
+    """
+    key = seed
+    if key not in _NOISE_GRIDS:
+        from scipy.ndimage import gaussian_filter
+        g = np.random.default_rng(seed).standard_normal(
+            (2048, 2048)).astype(np.float32)
+        g = gaussian_filter(g, 1.5, mode="wrap")
+        _NOISE_GRIDS[key] = (g / g.std()).astype(np.float32)
+    g = _NOISE_GRIDS[key]
+    n = g.shape[0]
+
+    def samp(xs, ys):
+        xi = np.floor(xs).astype(np.int64)
+        yi = np.floor(ys).astype(np.int64)
+        xf = (xs - xi).astype(np.float32)
+        yf = (ys - yi).astype(np.float32)
+        x0, x1 = xi % n, (xi + 1) % n
+        y0, y1 = yi % n, (yi + 1) % n
+        return ((1 - yf) * ((1 - xf) * g[y0, x0] + xf * g[y0, x1])
+                + yf * ((1 - xf) * g[y1, x0] + xf * g[y1, x1]))
+
+    # fine octave (~6 px features) + coarse octave (~20 px) so every pyramid
+    # level sees gradient structure
+    return (128.0 + 55.0 * samp(x * 0.5, y * 0.5)
+            + 35.0 * samp(x * 0.15 + 577.0, y * 0.15 + 231.0))
+
+
 class SyntheticPlaneDataset(Dataset):
     def __init__(self, rows: int = 240, cols: int = 320,
                  twist_per_frame=(0.0005, 0.001, 0.0008, 0.006, 0.002, 0.03),

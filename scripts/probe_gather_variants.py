@@ -131,31 +131,37 @@ def pallas_taa(lanes, rows=8):
 # ---------------------------------------------------------------------------
 
 def _band_kernel(u_ref, v_ref, img_ref, out_ref):
-    """One point-block per grid step: dynamic-slice a BAND-row window of the
-    image, 2-hot row matmul (bilinear in y on the MXU), 2-hot column masked
-    reduce (bilinear in x on the VPU)."""
-    u = u_ref[0, :]                       # (BLOCK,)
-    v = v_ref[0, :]
+    """One point-block per grid step, points kept on LANES throughout:
+      1. dynamic-slice a BAND-row window of the VMEM-resident image around the
+         block's min warped row;
+      2. bilinear in x: 2-hot one-hot matrix (W, BLOCK) from iota compares,
+         band @ onehot on the MXU -> (BAND, BLOCK) column mix;
+      3. bilinear in y: 2-hot row weights from a sublane iota compare, VPU
+         multiply + sublane reduce -> (BLOCK,).
+    No gather primitive anywhere."""
+    u = u_ref[0, 0, :]                     # (BLOCK,) lanes
+    v = v_ref[0, 0, :]
     xi = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
     yi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
     xf = u - xi.astype(jnp.float32)
     yf = v - yi.astype(jnp.float32)
 
-    base = jnp.min(yi)
-    base = jnp.minimum(base, H - BAND)
-    band = img_ref[pl.ds(base, BAND), :]          # (BAND, W)
+    base = jnp.minimum(jnp.min(yi), H - BAND)
+    band = img_ref[pl.ds(base, BAND), :]           # (BAND, W)
 
-    rel = yi - base                                # (BLOCK,) in [0, BAND)
-    rel = jnp.clip(rel, 0, BAND - 2)
-    rid = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BAND), 1)
-    row_hot = (jnp.where(rid == rel[:, None], 1.0 - yf[:, None], 0.0)
-               + jnp.where(rid == rel[:, None] + 1, yf[:, None], 0.0))
-    rowmix = jnp.dot(row_hot, band, preferred_element_type=jnp.float32)
+    # x selection + x interpolation on the MXU
+    cid = jax.lax.broadcasted_iota(jnp.int32, (W, BLOCK), 0)
+    onehot_x = (jnp.where(cid == xi[None, :], 1.0 - xf[None, :], 0.0)
+                + jnp.where(cid == xi[None, :] + 1, xf[None, :], 0.0))
+    colmix = jnp.dot(band, onehot_x,
+                     preferred_element_type=jnp.float32)  # (BAND, BLOCK)
 
-    cid = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, W), 1)
-    col_hot = (jnp.where(cid == xi[:, None], 1.0 - xf[:, None], 0.0)
-               + jnp.where(cid == xi[:, None] + 1, xf[:, None], 0.0))
-    out_ref[0, :] = jnp.sum(rowmix * col_hot, axis=1)
+    # y selection + y interpolation on the VPU (sublane iota compare + reduce)
+    rel = jnp.clip(yi - base, 0, BAND - 2)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (BAND, BLOCK), 0)
+    row_w = (jnp.where(rid == rel[None, :], 1.0 - yf[None, :], 0.0)
+             + jnp.where(rid == rel[None, :] + 1, yf[None, :], 0.0))
+    out_ref[0, 0, :] = jnp.sum(colmix * row_w, axis=0)
 
 
 def pallas_band_onehot():
@@ -166,29 +172,29 @@ def pallas_band_onehot():
             _band_kernel,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, BLOCK), lambda b: (b, 0),
+                pl.BlockSpec((1, 8, BLOCK), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BLOCK), lambda b: (b, 0),
+                pl.BlockSpec((1, 8, BLOCK), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # whole image resident
             ],
-            out_specs=pl.BlockSpec((1, BLOCK), lambda b: (b, 0),
+            out_specs=pl.BlockSpec((1, 8, BLOCK), lambda b: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nb, BLOCK), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((nb, 8, BLOCK), jnp.float32),
         )
         jitted = jax.jit(fn)
-        u2 = U.reshape(nb, BLOCK)
-        v2 = V.reshape(nb, BLOCK)
+        u2 = jnp.broadcast_to(U.reshape(nb, 1, BLOCK), (nb, 8, BLOCK))
+        v2 = jnp.broadcast_to(V.reshape(nb, 1, BLOCK), (nb, 8, BLOCK))
 
         def body(c):
             g = jitted(u2 + c * 1e-6, v2 + c * 1e-6, IMG)
-            return c + g[0, 0] * 1e-9
+            return c + g[0, 0, 0] * 1e-9
 
         ms = loop_time(body)
         record(name, ms, f"N={N} block={BLOCK} band={BAND}")
 
         # correctness vs the XLA path
-        g = np.asarray(jitted(u2, v2, IMG)).reshape(-1)
+        g = np.asarray(jitted(u2, v2, IMG))[:, 0, :].reshape(-1)
         xi = np.clip(np.floor(np.asarray(U)).astype(np.int64), 0, W - 2)
         yi = np.clip(np.floor(np.asarray(V)).astype(np.int64), 0, H - 2)
         xf = np.asarray(U) - xi
