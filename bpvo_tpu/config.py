@@ -195,6 +195,13 @@ class AlgorithmParameters:
     # zero-velocity warm start (vo.cc:144-146) + Identity re-estimate init
     # (vo.cc:183-185).
     withMotionModel: bool = False
+    # Keyframe rotation test units.  True (default) = Euler magnitude in
+    # DEGREES per the reference's documented contract (types.h:313-320
+    # "Units: degrees").  False reproduces the reference IMPLEMENTATION,
+    # which compares radian Euler angles against the degree threshold
+    # (vo.cc:208-213 + math_utils.h asin Euler) so the rotation test
+    # effectively never fires — kept as an ablation knob for parity runs.
+    rotationKeyframeInDegrees: bool = True
 
     def replace(self, **kw) -> "AlgorithmParameters":
         return dataclasses.replace(self, **kw)
@@ -261,6 +268,8 @@ class AlgorithmParameters:
                 "coarseToleranceScale", d.coarseToleranceScale, float),
             numShards=cf.get("numShards", d.numShards, int),
             withMotionModel=cf.get("withMotionModel", d.withMotionModel, bool),
+            rotationKeyframeInDegrees=cf.get(
+                "rotationKeyframeInDegrees", d.rotationKeyframeInDegrees, bool),
             poseEstimator=_parse_pose_estimator(
                 cf.get("poseEstimator", d.poseEstimator, str)),
             warpType=_parse_warp_type(cf.get("warpType", d.warpType, str)),

@@ -207,6 +207,9 @@ def create_dataset(conf) -> Dataset:
     if name == "synthetic_corridor":
         from bpvo_tpu.data.synthetic import SyntheticCorridorDataset
         return SyntheticCorridorDataset.from_config(cf)
+    if name == "synthetic_occluder":
+        from bpvo_tpu.data.synthetic import SyntheticOccluderDataset
+        return SyntheticOccluderDataset.from_config(cf)
     if name == "disparity":
         # generic precomputed-disparity sequence (reference DisparityDataset,
         # dataset.cc:39-92): LeftImageFormat/DisparityMapFormat printf

@@ -252,11 +252,14 @@ def _wta_subpixel(a, D: int):
 
 class TpuSGM(StereoAlgorithm):
     def __init__(self, cf: ConfigFile = None, num_disparities: int = 128,
-                 p1: float = 1.0, p2: float = 8.0, use_pallas: bool = False):
+                 p1: float = 2.0, p2: float = 8.0, use_pallas: bool = False):
         if cf is not None:
             num_disparities = cf.get("numberOfDisparities", num_disparities, int)
             # reference SGM penalties are in census-weighted units
-            # (stereo_algorithm.cc:50-55); ours are hamming-distance units
+            # (stereo_algorithm.cc:50-55); ours are hamming-distance units,
+            # calibrated against exact synthetic GT with cv2 SGBM as oracle
+            # (scripts/calibrate_sgm.py sweep -> docs/SGM_CALIBRATION.md:
+            # p1=2, p2=8 minimizes MAE + bad-pixel fraction across scenes)
             p1 = cf.get("sgmP1", p1, float)
             p2 = cf.get("sgmP2", p2, float)
             use_pallas = cf.get("sgmUsePallas", use_pallas, bool)

@@ -61,7 +61,7 @@ class SyntheticPlaneDataset(Dataset):
     def __init__(self, rows: int = 240, cols: int = 320,
                  twist_per_frame=(0.0005, 0.001, 0.0008, 0.006, 0.002, 0.03),
                  n_frames: int = 100, fx: float = 0.0, baseline: float = 0.12,
-                 z0: float = 8.0):
+                 z0: float = 8.0, texture: str = "sinusoid"):
         from bpvo_tpu.core import se3
         import jax.numpy as jnp
         self._rows, self._cols = rows, cols
@@ -73,6 +73,7 @@ class SyntheticPlaneDataset(Dataset):
         n_pl = np.array([0.12, 0.22, 1.0])
         self._n_pl = n_pl / np.linalg.norm(n_pl)
         self._d_pl = z0 * self._n_pl[2]
+        self._texture_kind = texture
         self._step = np.asarray(
             se3.exp(jnp.asarray(twist_per_frame, jnp.float32)), dtype=np.float64)
         uu, vv = np.meshgrid(np.arange(cols, dtype=np.float64),
@@ -89,8 +90,12 @@ class SyntheticPlaneDataset(Dataset):
                    cols=cf.get("SyntheticCols", 320, int),
                    n_frames=cf.get("SyntheticNumFrames", 100, int))
 
-    @staticmethod
-    def _texture(x, y):
+    def _texture(self, x, y):
+        # "sinusoid" is the historical default (globally periodic — a known
+        # aliasing hazard for direct trackers, kept for the parity diagnosis);
+        # "noise" is the non-degenerate value-noise texture.
+        if getattr(self, "_texture_kind", "sinusoid") == "noise":
+            return value_noise_texture(x, y)
         return (128 + 60 * np.sin(x / 7.0) * np.cos(y / 9.0)
                 + 40 * np.sin((x + 2 * y) / 13.0))
 
@@ -259,6 +264,73 @@ class SyntheticCorridorDataset(Dataset):
     @property
     def name(self):
         return "synthetic-corridor"
+
+
+class SyntheticOccluderDataset(SyntheticPlaneDataset):
+    """Plane scene plus an INDEPENDENTLY MOVING textured square occluder.
+
+    The occluder is a fronto-parallel quad at ``z_occ`` (closer than the
+    background plane) translating with its own velocity — so its pixels are
+    both an occlusion boundary and a rigid-scene violation the M-estimator
+    must reject (the robustness scenario VERDICT round-2 item 5 asks for;
+    no reference analogue — halismai/bpvo is only ever run on real scenes
+    where this occurs naturally).  Disparity is geometrically exact for the
+    composited scene.
+    """
+
+    def __init__(self, rows: int = 240, cols: int = 320, n_frames: int = 100,
+                 z_occ: float = 3.0, half_size: float = 0.55,
+                 occ_vel=(-0.012, 0.004, 0.0), texture: str = "noise",
+                 **kw):
+        super().__init__(rows=rows, cols=cols, n_frames=n_frames,
+                         texture=texture, **kw)
+        self._z_occ = z_occ
+        self._half = half_size
+        self._occ_vel = np.asarray(occ_vel, np.float64)
+
+    @classmethod
+    def from_config(cls, cf: ConfigFile) -> "SyntheticOccluderDataset":
+        return cls(rows=cf.get("SyntheticRows", 240, int),
+                   cols=cf.get("SyntheticCols", 320, int),
+                   n_frames=cf.get("SyntheticNumFrames", 100, int))
+
+    def get_frame(self, i: int) -> Optional[DatasetFrame]:
+        frame = super().get_frame(i)
+        if frame is None:
+            return None
+        I = frame.image.copy()
+        D = frame.disparity.copy()
+        T = self.pose_at(i)
+        R, t = T[:3, :3], T[:3, 3]
+        # occluder quad in frame-0 coords: fronto-parallel plane z = z_occ,
+        # center drifting with its own velocity
+        center0 = np.array([0.35, -0.1, self._z_occ]) + i * self._occ_vel
+        n_i = R @ np.array([0.0, 0.0, 1.0])
+        d_i = self._z_occ - np.array([0.0, 0.0, 1.0]) @ (-R.T @ t)
+        denom = self._rays @ n_i
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Z = d_i / denom
+        Z = np.where(np.isfinite(Z), Z, -1.0)
+        X_i = self._rays * np.maximum(Z, 0.0)[..., None]
+        X_0 = X_i @ R + (-R.T @ t)          # back to frame-0 coords
+        du = X_0[..., 0] - center0[0]
+        dv = X_0[..., 1] - center0[1]
+        hit = ((Z > 0.05) & (np.abs(du) < self._half)
+               & (np.abs(dv) < self._half))
+        # its own texture, anchored to the OBJECT (moves with it)
+        tex = value_noise_texture(du * 220.0 + 900.0, dv * 220.0 + 1400.0,
+                                  seed=11)
+        Zb = self._K[0, 0] * self._baseline / np.maximum(D, 1e-6)
+        front = hit & (Z < Zb)
+        I[front] = tex[front]
+        D[front] = (self._K[0, 0] * self._baseline / Z)[front]
+        return DatasetFrame(image=I.astype(np.float32),
+                            disparity=D.astype(np.float32),
+                            filename=f"occluder/{i:06d}")
+
+    @property
+    def name(self):
+        return "synthetic-occluder"
 
 
 def write_pfm(path: str, arr: np.ndarray) -> None:

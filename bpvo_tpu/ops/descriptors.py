@@ -155,21 +155,26 @@ def central_difference(I, radius: int = 3, sigma_before: float = 0.75,
     return out
 
 
-# LATCH patch-triplet layout: fixed pseudo-random (anchor, a, b) offsets within
-# a window, regenerated deterministically — NOT the learned triplets shipped
-# with OpenCV's LATCH (those are trained data vendored into the reference,
-# latch_descriptor.cc; we deliberately do not copy them — divergence documented
-# in PARITY.md).  The reference's ``latchRotationInvariance`` knob has no
-# observable effect in its dense evaluation: every densely-generated keypoint
-# carries cv::KeyPoint's default angle (latch_descriptor.cc:126-131), so the
-# "rotation" applied is the same constant for all pixels; we therefore accept
-# the config key but do not rotate.
-_LATCH_WINDOW = 8
+# LATCH triplets: the OpenCV-contrib LEARNED table (Levi & Hassner WACV'16
+# training output, BSD; see ops/latch_table.py for provenance), as vendored by
+# the reference (latch_descriptor.cc:507).  Round 2 used pseudo-random
+# offsets; round 3 adopts the learned arrangement per VERDICT item 8.
+# The reference's ``latchRotationInvariance`` knob has no observable effect in
+# its dense evaluation: every densely-generated keypoint carries cv::KeyPoint's
+# default angle (latch_descriptor.cc:126-131), so the "rotation" applied is the
+# same constant for all pixels; we therefore accept the config key but do not
+# rotate.
 
 
-def _latch_triplets(n: int, seed: int = 7):
-    r = np.random.default_rng(seed)
-    return r.integers(-_LATCH_WINDOW, _LATCH_WINDOW + 1, size=(n, 3, 2))
+def _latch_triplets(n: int):
+    """First n learned triplets as (anchor, a, b) (y, x) offset rows: table
+    row (ax, ay, bx, by, cx, cy) has anchor B, bit = SSD(A,B) < SSD(C,B)."""
+    from bpvo_tpu.ops.latch_table import LATCH_TRIPLETS
+    t = LATCH_TRIPLETS[:n].astype(np.int32)
+    anchor = t[:, [3, 2]]   # (by, bx)
+    a = t[:, [1, 0]]        # (ay, ax)
+    b = t[:, [5, 4]]        # (cy, cx)
+    return np.stack([anchor, a, b], axis=1)  # (n, 3, 2) as (y, x)
 
 
 def shift_clamp(I, dy: int, dx: int):

@@ -149,7 +149,9 @@ def _keyframe_reason(T_est, frac_good, p: AlgorithmParameters):
     euler = jnp.stack([
         jnp.arctan2(R[2, 1], R[2, 2]),
         jnp.arctan2(-R[2, 0], jnp.maximum(sy, 1e-12)),
-        jnp.arctan2(R[1, 0], R[0, 0])]) * (180.0 / jnp.pi)
+        jnp.arctan2(R[1, 0], R[0, 0])])
+    if p.rotationKeyframeInDegrees:   # see config.py — ablation knob
+        euler = euler * (180.0 / jnp.pi)
     r_sq = jnp.sum(euler ** 2)
     reason = jnp.where(
         t_sq > p.minTranslationMagToKeyFrame ** 2, KF_TRANSLATION,

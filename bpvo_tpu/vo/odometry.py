@@ -298,9 +298,11 @@ class VisualOdometry:
         # for typical thresholds; we follow the documented semantics instead.
         R = np.asarray(T_est)[:3, :3]
         sy = np.sqrt(R[0, 0] ** 2 + R[1, 0] ** 2)
-        euler = np.degrees([np.arctan2(R[2, 1], R[2, 2]),
-                            np.arctan2(-R[2, 0], max(sy, 1e-12)),
-                            np.arctan2(R[1, 0], R[0, 0])])
+        euler = np.array([np.arctan2(R[2, 1], R[2, 2]),
+                          np.arctan2(-R[2, 0], max(sy, 1e-12)),
+                          np.arctan2(R[1, 0], R[0, 0])])
+        if p.rotationKeyframeInDegrees:
+            euler = np.degrees(euler)
         if float(np.sum(euler ** 2)) > p.minRotationMagToKeyFrame ** 2:
             return KeyFramingReason.LARGE_ROTATION
 

@@ -24,6 +24,13 @@ import subprocess
 import sys
 import time
 
+# CPU harness: pin before AND after jax import (the container's TPU plugin
+# overrides the env var alone; see .claude/skills/verify)
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -31,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bpvo_tpu.config import AlgorithmParameters, ConfigFile
 from bpvo_tpu.data.dataset import DisparityDataset, FileSequence
 from bpvo_tpu.data.synthetic import (SyntheticCorridorDataset,
+                                     SyntheticOccluderDataset,
                                      SyntheticPlaneDataset, write_sequence)
 from bpvo_tpu.data.tunnel import load_calibration_file
 from bpvo_tpu.eval import kitti_eval
@@ -71,7 +79,16 @@ def make_sequences(out_dir: str, n_frames: int):
     for name, ds in (
         ("plane", SyntheticPlaneDataset(rows=240, cols=320,
                                         n_frames=n_frames, z0=6.0)),
+        # plane with the non-periodic value-noise texture: isolates the
+        # periodic-texture degeneracy of the "plane" cell (round-3 diagnosis)
+        ("plane_noise", SyntheticPlaneDataset(rows=240, cols=320,
+                                              n_frames=n_frames, z0=6.0,
+                                              texture="noise")),
         ("corridor", SyntheticCorridorDataset(rows=240, cols=320,
+                                              n_frames=n_frames)),
+        # independently-moving textured occluder (robustness: occlusion +
+        # rigid-scene violation the M-estimator must reject)
+        ("occluder", SyntheticOccluderDataset(rows=240, cols=320,
                                               n_frames=n_frames)),
     ):
         seq_dir = os.path.join(out_dir, name)
@@ -173,6 +190,21 @@ def main():
             print(f"[tpu] {tag}")
             our_wall = run_ours(seq_dir, config, our_prefix)
 
+            ablation = None
+            if seq_name == "corridor":
+                # rotation-heavy sequence: rerun ours with the reference
+                # IMPLEMENTATION's radian rotation test (ablation table)
+                ab_config = config + ".radians"
+                with open(ab_config, "w") as f:
+                    f.write(BASE_CONFIG.format(descriptor=desc)
+                            + "rotationKeyframeInDegrees = 0\n")
+                ab_prefix = os.path.join(seq_dir, f"tpu_rad_{desc.lower()}")
+                run_ours(seq_dir, ab_config, ab_prefix)
+                ab_m = evaluate(gt_file, ab_prefix + "_kitti.txt")
+                ablation = {"ate_rmse_m": ab_m["ate_rmse_m"],
+                            "kf": int(np.sum(np.loadtxt(
+                                ab_prefix + "_kf.txt")))}
+
             ref_m = evaluate(gt_file, ref_prefix + "_kitti.txt")
             our_m = evaluate(gt_file, our_prefix + "_kitti.txt")
             ref_iters = np.loadtxt(ref_prefix + "_iters.txt")
@@ -186,6 +218,7 @@ def main():
                 "ref_mean_iters": float(np.mean(ref_iters)),
                 "tpu_mean_iters": float(np.mean(our_iters)),
                 "ref_wall_s": ref_wall, "tpu_wall_s": our_wall,
+                "ablation": ablation,
             }
             rows.append(row)
             print(json.dumps(row, indent=2))
@@ -222,11 +255,67 @@ def write_markdown(rows, md_path, n_frames):
                 f"{m['ate_rmse_m']:.4f} | {m['rpe_t_mm']:.3f} | "
                 f"{m['rpe_r_deg']:.4f} | {kf} | {it:.1f} |")
     lines.append("")
-    ok = all(r["tpu"]["ate_rmse_m"] <= max(2 * r["ref"]["ate_rmse_m"], 0.02)
-             for r in rows)
-    lines.append(f"**Parity gate (bpvo_tpu ATE ≤ max(2x reference ATE, 2 cm) "
-                 f"on every sequence x descriptor): {'PASS' if ok else 'FAIL'}**")
+    # Tightened round-3 gate (VERDICT r2 item 5): where the reference itself
+    # is healthy (ATE < 10 cm) require ATE <= max(1.25x reference, 1 cm);
+    # where the reference is NOT healthy the cell must carry a diagnosis
+    # below instead of silently passing.
+    checked, diagnosed = [], []
+    for r in rows:
+        ref_ate, tpu_ate = r["ref"]["ate_rmse_m"], r["tpu"]["ate_rmse_m"]
+        cell = f"{r['sequence']}x{r['descriptor']}"
+        if ref_ate < 0.10:
+            checked.append((cell, tpu_ate <= max(1.25 * ref_ate, 0.01)))
+        else:
+            diagnosed.append(cell)
+    ok = all(p for _, p in checked)
+    fails = [c for c, p in checked if not p]
+    lines.append(
+        f"**Parity gate (where reference ATE < 10 cm: bpvo_tpu ATE ≤ "
+        f"max(1.25x reference, 1 cm)): {'PASS' if ok else 'FAIL ' + str(fails)}"
+        f"** — {len(checked)} cells checked"
+        + (f"; reference-degenerate cells requiring diagnosis: {diagnosed}"
+           if diagnosed else ""))
     lines.append("")
+    if diagnosed:
+        lines += [
+            "## Degenerate-cell diagnosis",
+            "",
+            "`plane` uses the historical globally-periodic sinusoid texture "
+            "(7-13 px periods).  A direct tracker on such texture has false "
+            "photometric minima one period apart, and the census transform "
+            "quantizes it into even more self-similar bit-planes — BOTH "
+            "frameworks alias-lock and produce ~1 m ATE there "
+            "(docs/PERFORMANCE.md round 3 has the full mechanism).  The "
+            "`plane_noise` row is the controlled experiment: same geometry, "
+            "same motion, non-periodic texture — both frameworks are healthy, "
+            "confirming the texture (not the solvers) is the degeneracy.",
+            "",
+        ]
+    if any(r.get("ablation") for r in rows):
+        lines += [
+            "## Keyframe-rotation-units ablation (vo.cc degrees-vs-radians)",
+            "",
+            "The reference compares radian Euler norms against a "
+            "degrees-intent threshold (types.h:313-320 documents degrees; "
+            "vo.cc:208-213 + math_utils.h asin Euler delivers radians), so "
+            "its rotation keyframe test ~never fires.  bpvo_tpu follows the "
+            "documented degrees by default; `rotationKeyframeInDegrees=0` "
+            "reproduces the implementation behavior:",
+            "",
+            "| sequence | descriptor | variant | ATE RMSE (m) | keyframes |",
+            "|---|---|---|---|---|",
+        ]
+        for r in rows:
+            ab = r.get("ablation")
+            if not ab:
+                continue
+            lines.append(
+                f"| {r['sequence']} | {r['descriptor']} | degrees (default) | "
+                f"{r['tpu']['ate_rmse_m']:.4f} | {r['tpu_kf']} |")
+            lines.append(
+                f"| {r['sequence']} | {r['descriptor']} | radians "
+                f"(reference impl) | {ab['ate_rmse_m']:.4f} | {ab['kf']} |")
+        lines.append("")
     with open(md_path, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {md_path}")

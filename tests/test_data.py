@@ -45,6 +45,36 @@ class TestStereo:
         assert len(valid) > 500
         assert abs(np.median(valid) - 6.0) < 0.5
 
+    def test_tpusgm_calibrated_against_oracle(self):
+        """Calibrated defaults (docs/SGM_CALIBRATION.md) must keep TpuSGM
+        within a stated band of exact GT on a slanted-plane pair where cv2
+        SGBM also succeeds (VERDICT r2 item 7)."""
+        import cv2
+        from bpvo_tpu.data.synthetic import SyntheticPlaneDataset
+        b = 0.12
+        ds = SyntheticPlaneDataset(
+            rows=240, cols=320, n_frames=2, z0=4.0, texture="noise",
+            baseline=b, twist_per_frame=(0, 0, 0, -b, 0, 0))
+        f0, f1 = ds.get_frame(0), ds.get_frame(1)
+        L = np.clip(f0.image, 0, 255).astype(np.uint8)
+        R = np.clip(f1.image, 0, 255).astype(np.uint8)
+        gt = f0.disparity
+
+        def mae(d):
+            ok = (gt > 1.0) & (gt < 30.0) & (d > 0)
+            assert ok.sum() > 10000
+            return float(np.abs(d - gt)[ok].mean())
+
+        sgbm = cv2.StereoSGBM_create(minDisparity=0, numDisparities=32,
+                                     blockSize=5, P1=200, P2=800,
+                                     uniquenessRatio=10)
+        mae_oracle = mae(sgbm.compute(L, R).astype(np.float32) / 16.0)
+        mae_tpu = mae(TpuSGM(num_disparities=32).run(
+            L.astype(np.float32), R.astype(np.float32)))
+        assert mae_oracle < 0.5          # oracle succeeds on this scene
+        assert mae_tpu < 0.5, mae_tpu    # calibrated band
+        assert mae_tpu < 3.0 * mae_oracle, (mae_tpu, mae_oracle)
+
     def test_cv_block_matching(self):
         L, R = make_stereo_pair(disp=6.0)
         cf = ConfigFile()
