@@ -20,16 +20,26 @@ from bpvo_tpu.ops.census import NEIGHBOR_OFFSETS
 
 
 def _census_kernel(img_ref, out_ref):
+    # one census bit-plane per grid step: the full (8,H,W) output in a single
+    # block overflows VMEM at KITTI size (probed on device: 16.88M > 16M,
+    # docs/PALLAS_TPU.json round 3) — image stays resident, planes stream out
+    b = pl.program_id(0)
     I = img_ref[:]
     H, W = I.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     border = ((row > 0) & (row < H - 1) & (col > 0) & (col < W - 1))
-    for b, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
-        # pltpu.roll requires non-negative shifts
-        shifted = pltpu.roll(pltpu.roll(I, (-dy) % H, 0), (-dx) % W, 1)
-        plane = jnp.where((shifted >= I) & border, 1.0, 0.0)
-        out_ref[b] = plane.astype(out_ref.dtype)
+
+    def make(dy, dx):
+        def branch(_):
+            # pltpu.roll requires non-negative shifts
+            return pltpu.roll(pltpu.roll(I, (-dy) % H, 0), (-dx) % W, 1)
+        return branch
+
+    shifted = jax.lax.switch(
+        b, [make(dy, dx) for dy, dx in NEIGHBOR_OFFSETS], None)
+    plane = jnp.where((shifted >= I) & border, 1.0, 0.0)
+    out_ref[0] = plane.astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -39,8 +49,11 @@ def census_planes_pallas(I, interpret: bool = False):
     H, W = I.shape
     return pl.pallas_call(
         _census_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(8,),
+        in_specs=[pl.BlockSpec((H, W), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, H, W), jnp.float32),
         interpret=interpret,
     )(I)

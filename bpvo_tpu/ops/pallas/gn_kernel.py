@@ -1,0 +1,298 @@
+"""Fused Pallas TPU kernel for one GN linearization: warped sampling +
+residual + IRLS weight + normal-equation reduction in a single VMEM-resident
+stream (SURVEY §7 Phase 4; replaces the reference's photo_error.cc:336-459 +
+mestimator.cc:242-385 + linear_system_builder.cc:140-205 pipeline).
+
+The one irregular access — I1 at warped points — is the design crux: Mosaic
+has NO per-lane dynamic gather (probed on device, docs/PALLAS_TPU.json
+``pallas_taa_*``), so sampling is reformulated gather-free:
+
+  * points stay on LANES end-to-end (no layout transposes);
+  * per point-block, a dynamic slice pulls a BAND-row window of the channel
+    image around the block's min warped row (raster-sorted selection keeps
+    blocks row-local);
+  * bilinear x: a 2-hot matrix (W, B) built from iota compares carries both
+    column selection AND the x interpolation weights; band @ onehot runs on
+    the MXU -> (BAND, B) column mix;
+  * bilinear y: 2-hot row weights from a sublane iota compare, VPU multiply +
+    sublane-reduce -> the sampled row I1 (B,);
+  * residual, M-estimator weight, and the (8,B)x(8,B) lane-contraction
+    rank-update of the packed H/g/f accumulator (irls_kernel's layout) follow
+    in-register.
+
+Points whose warped row falls outside the block's band are INVALIDATED (w=0),
+not mis-sampled; with raster-sorted points and BAND=64 this is empty in
+practice (asserted against the jnp path in tests), and coarse levels size the
+band to the whole (padded) image so they are always exact.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bpvo_tpu.solver.mestimator import HUBER_K, TUKEY_T
+from bpvo_tpu.types import InterpolationType, LossFunctionType
+
+BLOCK = 1024          # points per grid step
+BAND_MARGIN = 24      # extra band rows beyond the mean block span (flow slack)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _weight(u, loss: str):
+    if loss == "Tukey":
+        x = u / TUKEY_T
+        w = (1.0 - x * x)
+        return jnp.where(jnp.abs(u) < TUKEY_T, w * w, 0.0)
+    if loss == "Huber":
+        au = jnp.abs(u)
+        return jnp.where(au < HUBER_K, 1.0, HUBER_K / jnp.maximum(au, 1e-20))
+    return jnp.ones_like(u)
+
+
+def _kernel(sigma_ref, bases_ref, u_ref, v_ref, valid_ref, img_ref, jp_ref,
+            out_ref, r0_ref, w_ref, acc_ref, *,
+            H: int, W: int, band: int, loss: str, cosine: bool):
+    """Grid (NB, C).  Refs:
+      sigma (1,) SMEM; bases (NB,) SMEM per-block band starts (computed in
+      XLA — an in-kernel vector-min-fed dynamic slice crashes Mosaic, probed:
+      docs/PALLAS_TPU.json band_bisect.v2); u/v/valid (1, 8, B) blocks (row 0
+      live); img (1, Hp, Wp) = this channel; jp (1, 1, 8, B) = rows 0..5 J,
+      6 pixel; out (8, 128) accumulator output; r0 (1, 8, B) ch-0 residuals.
+    """
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nc = pl.num_programs(1)
+
+    @pl.when((b == 0) & (c == 0))
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    u = u_ref[0, 0, :]
+    v = v_ref[0, 0, :]
+    val = valid_ref[0, 0, :]
+    xi = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
+    yi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
+    xf = u - xi.astype(jnp.float32)
+    yf = v - yi.astype(jnp.float32)
+
+    Hp = img_ref.shape[1]
+    Wp = img_ref.shape[2]
+    if band >= Hp:
+        base = 0
+        band_rows = Hp
+    else:
+        base = bases_ref[b]
+        band_rows = band
+    bandm = img_ref[0, pl.ds(base, band_rows), :]        # (band, Wp)
+
+    if cosine:
+        xm = (1.0 - jnp.cos(xf * jnp.pi)) * 0.5
+        ym = (1.0 - jnp.cos(yf * jnp.pi)) * 0.5
+    else:
+        xm, ym = xf, yf
+
+    # x selection + interpolation on the MXU
+    cid = jax.lax.broadcasted_iota(jnp.int32, (Wp, BLOCK), 0)
+    onehot = (jnp.where(cid == xi[None, :], 1.0 - xm[None, :], 0.0)
+              + jnp.where(cid == xi[None, :] + 1, xm[None, :], 0.0))
+    colmix = jax.lax.dot_general(
+        bandm, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (band, BLOCK)
+
+    # y selection + interpolation on the VPU
+    rel = yi - base
+    band_ok = (rel >= 0) & (rel <= band_rows - 2)
+    relc = jnp.clip(rel, 0, band_rows - 2)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (band_rows, BLOCK), 0)
+    row_w = (jnp.where(rid == relc[None, :], 1.0 - ym[None, :], 0.0)
+             + jnp.where(rid == relc[None, :] + 1, ym[None, :], 0.0))
+    I1 = jnp.sum(colmix * row_w, axis=0)                 # (BLOCK,)
+
+    jp = jp_ref[0, 0]                                    # (8, BLOCK)
+    vmask = val * band_ok.astype(jnp.float32)
+    r = (I1 - jp[6, :]) * vmask
+    sigma = sigma_ref[0]
+    w = _weight(r / sigma, loss) * vmask                 # (BLOCK,)
+
+    @pl.when(c == 0)
+    def _():
+        r0_ref[0, :, :] = jnp.broadcast_to(r[None, :], (8, BLOCK))
+
+    w_ref[0, 0, :, :] = jnp.broadcast_to(w[None, :], (8, BLOCK))
+
+    # rank update of the packed accumulator (irls_kernel layout):
+    # rhs rows 0..5 = J, 6 = r, 7 = r; lhs = [w*J rows; w*r; 0]
+    rid8 = jax.lax.broadcasted_iota(jnp.int32, (8, BLOCK), 0)
+    rbc = jnp.broadcast_to(r[None, :], (8, BLOCK))
+    wbc = jnp.broadcast_to(w[None, :], (8, BLOCK))
+    rhs = jnp.where(rid8 >= 6, rbc, jp)                  # rows 6,7 = r
+    lhs = jnp.where(rid8 == 7, 0.0, jnp.where(rid8 == 6, rbc, jp)) * wbc
+    block8 = jax.lax.dot_general(
+        lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (8, 8)
+    # block8[0:6,0:6] = H, [0:6,6] = g, [6,6] = f_sq = sum w r^2
+    acc_ref[:, :] += jnp.pad(block8, ((0, 0), (0, 120)))
+
+    @pl.when((b == nb - 1) & (c == nc - 1))
+    def _():
+        out_ref[:, :] = acc_ref[:, :]
+
+
+def make_fused_linearize(rows: int, cols: int, C: int, K: int,
+                         loss: LossFunctionType,
+                         interp: InterpolationType = InterpolationType.LINEAR,
+                         interpret: bool = False):
+    """Build the fused kernel runner specialized to one pyramid level.
+
+    Returns ``run(u, v, valid, channels, jp, sigma) ->
+    (H6 (6,6), g (6,), f_sq, r0 (K,), w (C,K))`` where ``channels`` is the raw
+    (C, rows, cols) stack and ``jp`` the packed (C, NB, 8, BLOCK) template
+    (see ``pack_template``).
+    """
+    if interp not in (InterpolationType.LINEAR, InterpolationType.COSINE):
+        raise ValueError("fused kernel supports Linear/Cosine interpolation")
+    loss_name = {LossFunctionType.TUKEY: "Tukey",
+                 LossFunctionType.HUBER: "Huber",
+                 LossFunctionType.L2: "L2"}[loss]
+    Hp = _round_up(rows, 8)
+    Wp = _round_up(cols, 128)
+    Kp = _round_up(K, BLOCK)
+    NB = Kp // BLOCK
+    # band sized to the MEAN rows-per-block of raster-sorted points plus a
+    # flow margin; blocks denser than the mean center their band on their own
+    # span (midpoint bases), sparser ones invalidate the overflow
+    band = min(Hp, _round_up(Hp // NB + BAND_MARGIN, 8))
+
+    kern = partial(_kernel, H=rows, W=cols, band=band, loss=loss_name,
+                   cosine=(interp == InterpolationType.COSINE))
+
+    grid = (NB, C)
+    call = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                # sigma (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),                # bases (NB,)
+            pl.BlockSpec((1, 8, BLOCK), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),                # u
+            pl.BlockSpec((1, 8, BLOCK), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),                # v
+            pl.BlockSpec((1, 8, BLOCK), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),                # valid
+            pl.BlockSpec((1, Hp, Wp), lambda b, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),                # channel c
+            pl.BlockSpec((1, 1, 8, BLOCK), lambda b, c: (c, b, 0, 0),
+                         memory_space=pltpu.VMEM),                # jp
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),                # out (8,128)
+            pl.BlockSpec((1, 8, BLOCK), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),                # r0
+            pl.BlockSpec((1, 1, 8, BLOCK), lambda b, c: (c, b, 0, 0),
+                         memory_space=pltpu.VMEM),                # w
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((NB, 8, BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((C, NB, 8, BLOCK), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        interpret=interpret,
+    )
+
+    def run(u, v, valid, channels, jp, sigma):
+        pad = Kp - K
+        uu = jnp.pad(u.astype(jnp.float32), (0, pad))
+        vv = jnp.pad(v.astype(jnp.float32), (0, pad))
+        vm = jnp.pad(valid.astype(jnp.float32), (0, pad))
+        u3 = jnp.broadcast_to(uu.reshape(NB, 1, BLOCK), (NB, 8, BLOCK))
+        v3 = jnp.broadcast_to(vv.reshape(NB, 1, BLOCK), (NB, 8, BLOCK))
+        m3 = jnp.broadcast_to(vm.reshape(NB, 1, BLOCK), (NB, 8, BLOCK))
+        ch = jnp.pad(channels.astype(jnp.float32),
+                     ((0, 0), (0, Hp - rows), (0, Wp - cols)))
+        # per-block band start, centered on the block's valid row span
+        # (raster-sorted selection keeps spans narrow; out-of-band points are
+        # invalidated in-kernel)
+        yi2 = jnp.clip(jnp.floor(vv).astype(jnp.int32),
+                       0, rows - 2).reshape(NB, BLOCK)
+        vm2 = vm.reshape(NB, BLOCK) > 0
+        mn = jnp.min(jnp.where(vm2, yi2, rows - 2), axis=1)
+        mx = jnp.max(jnp.where(vm2, yi2, 0), axis=1)
+        bases = jnp.clip((mn + mx + 1) // 2 - band // 2, 0, Hp - band)
+        out, r0, w = call(jnp.reshape(sigma.astype(jnp.float32), (1,)),
+                          bases.astype(jnp.int32),
+                          u3, v3, m3, ch, jp)
+        H6 = out[:6, :6]
+        g = out[:6, 6]
+        f_sq = out[6, 6]
+        return (H6, g, f_sq, r0[:, 0, :].reshape(Kp)[:K],
+                w[:, :, 0, :].reshape(C, Kp)[:, :K])
+
+    return run
+
+
+_RUNNER_CACHE = {}
+
+
+def fused_linearize(tdata, channels, cam, T, sigma,
+                    loss: LossFunctionType = LossFunctionType.TUKEY,
+                    interp: InterpolationType = InterpolationType.LINEAR,
+                    interpret: bool = False, jp=None):
+    """Convenience one-call fused linearization on a TemplateData.
+
+    Projection (tiny VPU math) stays in XLA; sampling + residual + weights +
+    H/g/f run in the Pallas kernel.  ``jp`` may be passed pre-packed (once per
+    keyframe) to skip the per-call ``pack_template``.
+
+    Returns (H (6,6), g (6,), f_sq, r0 (K,), w (C,K), valid (K,)).
+    """
+    from bpvo_tpu.ops import interp as interp_mod
+    from bpvo_tpu.vo import warp as warp_mod
+
+    C, rows_, cols_ = channels.shape
+    K = tdata.pixels.shape[1]
+    key = (rows_, cols_, C, K, loss, interp, interpret)
+    if key not in _RUNNER_CACHE:
+        _RUNNER_CACHE[key] = make_fused_linearize(
+            rows_, cols_, C, K, loss, interp, interpret)
+    run = _RUNNER_CACHE[key]
+
+    u, v, Z = warp_mod.project(cam, T, tdata.points)
+    ok = tdata.valid & (Z > 1e-6) & interp_mod.valid_mask(
+        u, v, rows_, cols_, interp)
+    if jp is None:
+        jp = pack_template(tdata.pixels, tdata.jacobians, K)
+    H6, g, f_sq, r0, w = run(u, v, ok, channels, jp, sigma)
+    return H6, g, f_sq, r0, w, ok
+
+
+def pack_template(pixels, jacobians, K: int = None):
+    """Pack per-keyframe template arrays for the fused kernel.
+
+    pixels (C, K), jacobians (C, K, 6) -> (C, NB, 8, BLOCK) with rows 0..5 the
+    Jacobian components, row 6 the pixel value, row 7 zero.  Done once per
+    keyframe (the reference's setData-time layout work,
+    template_data.cc:102-141).
+    """
+    C, Kt = pixels.shape
+    K = Kt if K is None else K
+    Kp = _round_up(K, BLOCK)
+    NB = Kp // BLOCK
+    pad = Kp - Kt
+    px = jnp.pad(pixels, ((0, 0), (0, pad)))
+    J = jnp.pad(jacobians, ((0, 0), (0, pad), (0, 0)))
+    rows = jnp.concatenate([
+        jnp.moveaxis(J, 2, 1),                     # (C, 6, Kp)
+        px[:, None, :],                            # (C, 1, Kp)
+        jnp.zeros((C, 1, Kp), px.dtype),
+    ], axis=1)                                     # (C, 8, Kp)
+    return jnp.moveaxis(rows.reshape(C, 8, NB, BLOCK), 1, 2)  # (C, NB, 8, B)

@@ -20,6 +20,7 @@ The LM trust-region variant is in ``bpvo_tpu/solver/levenberg_marquardt.py``.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import jax
@@ -66,6 +67,11 @@ class GNOptions:
     verbose: bool = False
     # warp parameterization: "RigidBody" | "DisparitySpace" (config warpType)
     warp: str = "RigidBody"
+    # linearization backend: "jnp" (XLA gather path) or "fused" (the Pallas
+    # band+one-hot kernel, ops/pallas/gn_kernel.py — RigidBody +
+    # Linear/Cosine only; falls back to jnp otherwise).  Default from the
+    # BPVO_LINEARIZE env var so the bench can A/B both on device.
+    linearize: str = os.environ.get("BPVO_LINEARIZE", "jnp")
 
     @classmethod
     def from_params(cls, p: AlgorithmParameters, coarse: bool) -> "GNOptions":
@@ -171,7 +177,41 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
     f32 = jnp.float32
     T0 = jnp.asarray(T_init, f32)
     s, c = tdata.norm_scale, tdata.norm_center
-    if linearize_fn is None:
+    use_fused = (opts.linearize == "fused" and opts.warp == "RigidBody"
+                 and opts.interp in (InterpolationType.LINEAR,
+                                     InterpolationType.COSINE))
+    if linearize_fn is None and use_fused:
+        # Pallas fused path (ops/pallas/gn_kernel.py): sampling + residual +
+        # weights + H/g/f in one kernel.  Scale semantics preserved exactly:
+        # while sigma is still converging (stable-skip off), a first kernel
+        # pass supplies the residuals the histogram median needs, then the
+        # weighted reduction runs at the new sigma — the reference's
+        # residuals -> scale -> weights order (pose_estimator_gn.h:70-81).
+        from bpvo_tpu.ops import interp as interp_mod
+        from bpvo_tpu.ops.pallas import gn_kernel
+        C_, rows_, cols_ = channels.shape
+        K_ = tdata.pixels.shape[1]
+        runner = gn_kernel.make_fused_linearize(
+            rows_, cols_, C_, K_, opts.loss, opts.interp,
+            interpret=(jax.default_backend() == "cpu"))
+        jp = gn_kernel.pack_template(tdata.pixels, tdata.jacobians)
+
+        def linearize_fn(T, scale, dscale):
+            u, v, Z = warp_mod.project(cam, T, tdata.points)
+            ok = tdata.valid & (Z > 1e-6) & interp_mod.valid_mask(
+                u, v, rows_, cols_, opts.interp)
+            do_est = dscale > opts.scale_tolerance
+
+            def est(_):
+                _H, _g, _f, r0, _w = runner(u, v, ok, channels, jp, scale)
+                return mestimator.estimate_scale(r0, ok,
+                                                opts.use_histogram_median)
+
+            sigma = jax.lax.cond(do_est, est, lambda _: scale, None)
+            new_delta = jnp.where(do_est, jnp.abs(sigma - scale), dscale)
+            H, g, f_sq, _r0, w = runner(u, v, ok, channels, jp, sigma)
+            return H, g, jnp.sqrt(f_sq), sigma, new_delta, w
+    elif linearize_fn is None:
         # channels are constant across iterations: pre-shift them once so each
         # iteration's warped sampling is a single gather (interp.pack_taps)
         from bpvo_tpu.ops import interp as interp_mod

@@ -280,15 +280,31 @@ def write_markdown(rows, md_path, n_frames):
         lines += [
             "## Degenerate-cell diagnosis",
             "",
-            "`plane` uses the historical globally-periodic sinusoid texture "
-            "(7-13 px periods).  A direct tracker on such texture has false "
-            "photometric minima one period apart, and the census transform "
-            "quantizes it into even more self-similar bit-planes — BOTH "
-            "frameworks alias-lock and produce ~1 m ATE there "
-            "(docs/PERFORMANCE.md round 3 has the full mechanism).  The "
-            "`plane_noise` row is the controlled experiment: same geometry, "
-            "same motion, non-periodic texture — both frameworks are healthy, "
-            "confirming the texture (not the solvers) is the degeneracy.",
+            "**plane x BitPlanes** — `plane` uses the historical "
+            "globally-periodic sinusoid texture (7-13 px periods).  A direct "
+            "tracker on such texture has false photometric minima one period "
+            "apart, and the census transform quantizes it into even more "
+            "self-similar bit-planes — BOTH frameworks alias-lock and produce "
+            "~1 m ATE there (docs/PERFORMANCE.md round 3 has the full "
+            "mechanism).  The `plane_noise` row is the controlled experiment: "
+            "same geometry, same motion, non-periodic texture — both "
+            "frameworks are healthy, confirming the texture (not the solvers) "
+            "is the degeneracy.",
+            "",
+            "**corridor x BitPlanes** — the reference degrades (~0.29 m, 100 "
+            "keyframes) on the corridor's repeating per-wall sinusoid "
+            "patterns under census quantization; bpvo_tpu stays healthy "
+            "(~0.05 m).  One-sided degeneracy: this cell is outperformance, "
+            "not shared failure.",
+            "",
+            "**occluder x {Intensity, BitPlanes}** — by design: ~11% of "
+            "pixels belong to a high-contrast, independently-moving occluder "
+            "(a rigid-scene violation sustained for 200 frames), which "
+            "exceeds what frame-to-keyframe IRLS can reject.  The parity "
+            "content is that both implementations degrade IDENTICALLY "
+            "(ATE within ~1% Intensity / ~8% BitPlanes, matching keyframe "
+            "counts) — the M-estimator pipelines behave the same under "
+            "gross outliers.",
             "",
         ]
     if any(r.get("ablation") for r in rows):

@@ -197,10 +197,13 @@ def probe_fused_iteration():
         try:
             from bpvo_tpu.ops.pallas import gn_kernel
 
-            def body_fused(c, td=td, channels=channels, cam=cam, opts=opts):
+            jp = gn_kernel.pack_template(td.pixels, td.jacobians)
+
+            def body_fused(c, td=td, channels=channels, cam=cam, opts=opts,
+                           jp=jp):
                 T = T0.at[0, 3].add(c * 1e-6)
-                H_, g, f_sq = gn_kernel.fused_linearize(
-                    td, channels, cam, T, sigma, loss=opts.loss)
+                H_, g, f_sq, r0, w, ok = gn_kernel.fused_linearize(
+                    td, channels, cam, T, sigma, loss=opts.loss, jp=jp)
                 return c + f_sq * 1e-9
 
             record(f"linearize_fused_L0_{name}", loop_time(body_fused))

@@ -83,3 +83,104 @@ class TestIrlsKernel:
         np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=2e-4,
                                    atol=1e-2)
         np.testing.assert_allclose(float(f_sq), float(f2), rtol=1e-4)
+
+
+class TestFusedGnKernel:
+    """The round-3 fused linearize kernel (SURVEY §7 Phase 4) vs the
+    production jnp path, on a real template from the synthetic scene."""
+
+    def _problem(self, desc="Intensity"):
+        import bench as bench_mod
+        from bpvo_tpu.config import AlgorithmParameters
+        from bpvo_tpu.types import DescriptorType
+        from bpvo_tpu.ops import descriptors
+        from bpvo_tpu.vo import template_data as td_mod
+        from bpvo_tpu.vo import warp as warp_mod
+
+        rows, cols = 120, 160
+        K, baseline, frames = bench_mod.synthesize_sequence(2, rows, cols)
+        p = AlgorithmParameters(
+            minSaliency=1.0, numPyramidLevels=1,
+            descriptor=(DescriptorType.BITPLANES if desc == "BitPlanes"
+                        else DescriptorType.INTENSITY))
+        cam = warp_mod.CameraModel.from_K(K, baseline)
+        ch0 = descriptors.compute(jnp.asarray(frames[0][0]), p)
+        ch1 = descriptors.compute(jnp.asarray(frames[1][0]), p)
+        td = td_mod.set_data(ch0, jnp.asarray(frames[0][1]), cam, p, 2048, 0)
+        return td, ch1, cam
+
+    @pytest.mark.parametrize("desc", ["Intensity", "BitPlanes"])
+    def test_matches_jnp_linearize(self, desc):
+        from bpvo_tpu.ops.pallas import gn_kernel
+        from bpvo_tpu.ops import interp as interp_mod
+        from bpvo_tpu.solver import linear_system, mestimator
+        from bpvo_tpu.types import InterpolationType, LossFunctionType
+        from bpvo_tpu.vo import template_data as td_mod
+
+        td, ch1, cam = self._problem(desc)
+        T = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.004)
+        sigma = jnp.asarray(1.7, jnp.float32)
+
+        H, g, f_sq, r0, w, ok = gn_kernel.fused_linearize(
+            td, ch1, cam, T, sigma, loss=LossFunctionType.TUKEY,
+            interpret=INTERPRET)
+
+        r_ref, ok_ref = td_mod.compute_residuals(
+            td, ch1, cam, T, InterpolationType.LINEAR)
+        w_ref = mestimator.compute_weights(
+            LossFunctionType.TUKEY, r_ref, ok_ref[None, :], sigma)
+        H2, g2, f2 = linear_system.build(td.jacobians, r_ref, w_ref)
+
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r_ref[0]),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(H), np.asarray(H2),
+                                   rtol=2e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
+                                   rtol=2e-4, atol=5e-2)
+        np.testing.assert_allclose(float(f_sq), float(f2), rtol=1e-3)
+
+    def test_cosine_interp_matches(self):
+        from bpvo_tpu.ops.pallas import gn_kernel
+        from bpvo_tpu.solver import linear_system, mestimator
+        from bpvo_tpu.types import InterpolationType, LossFunctionType
+        from bpvo_tpu.vo import template_data as td_mod
+
+        td, ch1, cam = self._problem()
+        T = jnp.eye(4, dtype=jnp.float32).at[1, 3].set(-0.003)
+        sigma = jnp.asarray(2.0, jnp.float32)
+        H, g, f_sq, r0, w, ok = gn_kernel.fused_linearize(
+            td, ch1, cam, T, sigma, loss=LossFunctionType.HUBER,
+            interp=InterpolationType.COSINE, interpret=INTERPRET)
+        r_ref, ok_ref = td_mod.compute_residuals(
+            td, ch1, cam, T, InterpolationType.COSINE)
+        w_ref = mestimator.compute_weights(
+            LossFunctionType.HUBER, r_ref, ok_ref[None, :], sigma)
+        H2, g2, f2 = linear_system.build(td.jacobians, r_ref, w_ref)
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r_ref[0]),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(H), np.asarray(H2),
+                                   rtol=2e-4, atol=1e-2)
+        np.testing.assert_allclose(float(f_sq), float(f2), rtol=1e-3)
+
+    def test_full_gn_with_fused_backend_recovers_motion(self):
+        """gauss_newton.run with linearize='fused' must recover the same pose
+        as the jnp backend on a synthetic warp (production-wiring check)."""
+        import dataclasses
+        from test_gn import build_template, render_pair
+        from bpvo_tpu.core import se3
+        from bpvo_tpu.solver import gauss_newton as gn
+
+        twist = [0.001, -0.002, 0.001, 0.01, -0.005, 0.015]
+        I0, I1, D, cam, T_true = render_pair(twist)
+        td, p = build_template(I0, D, cam, capacity=2048)
+        base = gn.GNOptions(function_tolerance=1e-4, parameter_tolerance=1e-6)
+
+        st_jnp = gn.run(td, jnp.asarray(I1)[None], cam, jnp.eye(4), base)
+        st_fused = gn.run(td, jnp.asarray(I1)[None], cam, jnp.eye(4),
+                          dataclasses.replace(base, linearize="fused"))
+        for st in (st_jnp, st_fused):
+            err = np.asarray(se3.log(jnp.asarray(
+                np.asarray(st.T) @ np.linalg.inv(T_true), jnp.float32)))
+            assert np.abs(err).max() < 5e-3, err
+        np.testing.assert_allclose(np.asarray(st_fused.T),
+                                   np.asarray(st_jnp.T), atol=1e-4)
