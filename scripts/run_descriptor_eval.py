@@ -60,6 +60,10 @@ def main():
         lines.append(f"| {desc} | {solver} | {ate} | {r['mean_iters']:.1f} | "
                      f"{r['mean_ms']:.1f} |")
     lines.append("")
+    lines.append(
+        "Notes: `Latch` runs the reference's own default `latchNumBytes = 1` "
+        "(types.cc:38) = only the first 8 of 512 learned triplets; see the "
+        "committed table for the full-run interpretation notes.")
     out = Path(__file__).resolve().parents[1] / "docs" / "DESCRIPTOR_EVAL.md"
     out.write_text("\n".join(lines))
     print(f"wrote {out}")
