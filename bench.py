@@ -126,6 +126,22 @@ def run_scan(K, baseline, images, disps, descriptor: str):
     return float(np.median(hz_chunks)), [round(h, 2) for h in hz_chunks]
 
 
+def measure_dispatch_rtt():
+    """ms per round-trip of a trivial jitted op + fetch — quantifies the
+    tunnel/dispatch overhead that bounds online (per-frame) mode on this
+    backend (VERDICT item 6: report the RTT contribution next to online Hz)."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.asarray(0.0, jnp.float32)
+    np.asarray(f(x))
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        np.asarray(f(x))
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
 def run_online(K, baseline, images, disps):
     """Online mode: one jitted step per frame (latency-oriented deployment);
     on the tunneled backend this is dispatch-RTT-bound, not compute-bound."""
@@ -208,6 +224,32 @@ def main():
             result["bitplanes_hz"] = round(hz_by_desc["BitPlanes"], 2)
             result["bitplanes_vs_baseline"] = round(
                 hz_by_desc["BitPlanes"] / BASELINE_HZ, 3)
+        # deployable-path (streaming) figure: one dispatch per frame.  On
+        # this relay-tunneled backend each dispatch pays a measured RTT that
+        # a real v5e host does not; report both so the number is honest.
+        if os.environ.get("BPVO_BENCH_ONLINE", "1") != "0":
+            try:
+                rtt_ms = measure_dispatch_rtt()
+                online_hz = run_online(K, baseline, images, disps)
+                result["online_hz"] = round(online_hz, 2)
+                result["online_vs_baseline"] = round(
+                    online_hz / BASELINE_HZ, 3)
+                result["dispatch_rtt_ms"] = round(rtt_ms, 2)
+                # Dispatches pipeline (add_frame does not fetch), so a frame
+                # time below the RTT means the tunnel latency is fully hidden
+                # and no correction applies; only when the loop is slower
+                # than one RTT per frame does the serialized-RTT share get
+                # reported net of the tunnel.
+                frame_ms = 1e3 / online_hz
+                if frame_ms > rtt_ms:
+                    result["online_hz_rtt_corrected"] = round(
+                        1e3 / (frame_ms - rtt_ms), 2)
+                detail["online"] = {
+                    "hz": result["online_hz"], "rtt_ms": result[
+                        "dispatch_rtt_ms"],
+                    "rtt_hidden_by_pipelining": frame_ms <= rtt_ms}
+            except Exception as e:  # online must not sink the headline
+                result["online_error"] = f"{type(e).__name__}: {e}"
 
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

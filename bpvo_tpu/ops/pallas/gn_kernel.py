@@ -21,9 +21,12 @@ has NO per-lane dynamic gather (probed on device, docs/PALLAS_TPU.json
     in-register.
 
 Points whose warped row falls outside the block's band are INVALIDATED (w=0),
-not mis-sampled; with raster-sorted points and BAND=64 this is empty in
-practice (asserted against the jnp path in tests), and coarse levels size the
-band to the whole (padded) image so they are always exact.
+not mis-sampled; selection block-balances valid points across BLOCK-sized
+chunks (ops/selection.py) so each chunk's row span is ~rows/NB regardless of
+capacity fill, well inside the band (measured spans 23-28 vs band 56 at KITTI
+shape; device parity vs the jnp path in docs/PALLAS_TPU.json
+``fused_vs_jnp_reldiff_*``).  Coarse levels size the band to the whole
+(padded) image so they are always exact.
 """
 from __future__ import annotations
 
@@ -38,8 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 from bpvo_tpu.solver.mestimator import HUBER_K, TUKEY_T
 from bpvo_tpu.types import InterpolationType, LossFunctionType
 
-BLOCK = 1024          # points per grid step
-BAND_MARGIN = 24      # extra band rows beyond the mean block span (flow slack)
+BLOCK = 1024          # points per grid step (selection block-balances to this)
+BAND_MARGIN = 32      # extra band rows beyond the mean block span: covers
+                      # selection-density variation + inter-frame flow + the
+                      # <=7-row 8-alignment shift of the band base
 
 
 def _round_up(x, m):
@@ -60,17 +65,21 @@ def _weight(u, loss: str):
 def _kernel(sigma_ref, bases_ref, u_ref, v_ref, valid_ref, img_ref, jp_ref,
             out_ref, r0_ref, w_ref, acc_ref, *,
             H: int, W: int, band: int, loss: str, cosine: bool):
-    """Grid (NB, C).  Refs:
+    """Grid (C, NB) — point blocks INNERMOST so the (1, Hp, Wp) channel
+    block's index map is constant across consecutive grid steps and Mosaic's
+    pipeline skips its DMA (channel loaded once per c, not once per (c, b):
+    at KITTI shape that is 15 MB vs 243 MB of HBM traffic for 8 channels).
+    Refs:
       sigma (1,) SMEM; bases (NB,) SMEM per-block band starts (computed in
       XLA — an in-kernel vector-min-fed dynamic slice crashes Mosaic, probed:
       docs/PALLAS_TPU.json band_bisect.v2); u/v/valid (1, 8, B) blocks (row 0
       live); img (1, Hp, Wp) = this channel; jp (1, 1, 8, B) = rows 0..5 J,
       6 pixel; out (8, 128) accumulator output; r0 (1, 8, B) ch-0 residuals.
     """
-    b = pl.program_id(0)
-    c = pl.program_id(1)
-    nb = pl.num_programs(0)
-    nc = pl.num_programs(1)
+    c = pl.program_id(0)
+    b = pl.program_id(1)
+    nc = pl.num_programs(0)
+    nb = pl.num_programs(1)
 
     @pl.when((b == 0) & (c == 0))
     def _():
@@ -90,7 +99,12 @@ def _kernel(sigma_ref, bases_ref, u_ref, v_ref, valid_ref, img_ref, jp_ref,
         base = 0
         band_rows = Hp
     else:
-        base = bases_ref[b]
+        # bases are stored PRE-DIVIDED by 8 and re-multiplied here: Mosaic
+        # requires a static proof that a sublane-dim dynamic-slice start is a
+        # multiple of 8, and `x * 8` is the proof (probed on device — a raw
+        # SMEM value fails with "cannot statically prove that index in
+        # dimension 1 is a multiple of 8"; docs/PALLAS_TPU.json).
+        base = bases_ref[b] * 8
         band_rows = band
     bandm = img_ref[0, pl.ds(base, band_rows), :]        # (band, Wp)
 
@@ -175,29 +189,29 @@ def make_fused_linearize(rows: int, cols: int, C: int, K: int,
     kern = partial(_kernel, H=rows, W=cols, band=band, loss=loss_name,
                    cosine=(interp == InterpolationType.COSINE))
 
-    grid = (NB, C)
+    grid = (C, NB)
     call = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                # sigma (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),                # bases (NB,)
-            pl.BlockSpec((1, 8, BLOCK), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((1, 8, BLOCK), lambda c, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),                # u
-            pl.BlockSpec((1, 8, BLOCK), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((1, 8, BLOCK), lambda c, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),                # v
-            pl.BlockSpec((1, 8, BLOCK), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((1, 8, BLOCK), lambda c, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),                # valid
-            pl.BlockSpec((1, Hp, Wp), lambda b, c: (c, 0, 0),
+            pl.BlockSpec((1, Hp, Wp), lambda c, b: (c, 0, 0),
                          memory_space=pltpu.VMEM),                # channel c
-            pl.BlockSpec((1, 1, 8, BLOCK), lambda b, c: (c, b, 0, 0),
+            pl.BlockSpec((1, 1, 8, BLOCK), lambda c, b: (c, b, 0, 0),
                          memory_space=pltpu.VMEM),                # jp
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),                # out (8,128)
-            pl.BlockSpec((1, 8, BLOCK), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((1, 8, BLOCK), lambda c, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),                # r0
-            pl.BlockSpec((1, 1, 8, BLOCK), lambda b, c: (c, b, 0, 0),
+            pl.BlockSpec((1, 1, 8, BLOCK), lambda c, b: (c, b, 0, 0),
                          memory_space=pltpu.VMEM),                # w
         ),
         out_shape=(
@@ -217,8 +231,13 @@ def make_fused_linearize(rows: int, cols: int, C: int, K: int,
         u3 = jnp.broadcast_to(uu.reshape(NB, 1, BLOCK), (NB, 8, BLOCK))
         v3 = jnp.broadcast_to(vv.reshape(NB, 1, BLOCK), (NB, 8, BLOCK))
         m3 = jnp.broadcast_to(vm.reshape(NB, 1, BLOCK), (NB, 8, BLOCK))
-        ch = jnp.pad(channels.astype(jnp.float32),
-                     ((0, 0), (0, Hp - rows), (0, Wp - cols)))
+        # channels may be passed pre-padded (pad_channels) so the copy is
+        # hoisted out of the GN while-loop instead of re-run every iteration
+        if channels.shape[1:] == (Hp, Wp):
+            ch = channels.astype(jnp.float32)
+        else:
+            ch = jnp.pad(channels.astype(jnp.float32),
+                         ((0, 0), (0, Hp - rows), (0, Wp - cols)))
         # per-block band start, centered on the block's valid row span
         # (raster-sorted selection keeps spans narrow; out-of-band points are
         # invalidated in-kernel)
@@ -227,7 +246,9 @@ def make_fused_linearize(rows: int, cols: int, C: int, K: int,
         vm2 = vm.reshape(NB, BLOCK) > 0
         mn = jnp.min(jnp.where(vm2, yi2, rows - 2), axis=1)
         mx = jnp.max(jnp.where(vm2, yi2, 0), axis=1)
-        bases = jnp.clip((mn + mx + 1) // 2 - band // 2, 0, Hp - band)
+        # 8-aligned band starts (stored /8; the kernel re-multiplies so
+        # Mosaic can prove sublane alignment of the dynamic slice)
+        bases = jnp.clip((mn + mx + 1) // 2 - band // 2, 0, Hp - band) // 8
         out, r0, w = call(jnp.reshape(sigma.astype(jnp.float32), (1,)),
                           bases.astype(jnp.int32),
                           u3, v3, m3, ch, jp)
@@ -238,6 +259,16 @@ def make_fused_linearize(rows: int, cols: int, C: int, K: int,
                 w[:, :, 0, :].reshape(C, Kp)[:, :K])
 
     return run
+
+
+def pad_channels(channels, rows: int, cols: int):
+    """Pad a (C, rows, cols) channel stack to the kernel's (C, Hp, Wp) tile
+    shape ONCE (outside the GN loop); ``run`` detects the padded shape and
+    skips its per-call pad."""
+    Hp = _round_up(rows, 8)
+    Wp = _round_up(cols, 128)
+    return jnp.pad(channels.astype(jnp.float32),
+                   ((0, 0), (0, Hp - rows), (0, Wp - cols)))
 
 
 _RUNNER_CACHE = {}

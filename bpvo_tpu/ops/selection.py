@@ -71,6 +71,29 @@ def select_pixels(saliency, disparity, capacity: int, *,
     order = jnp.argsort(jnp.where(valid, idx, jnp.iinfo(jnp.int32).max))
     idx = idx[order]
     valid = valid[order]
+    # Block-balanced redistribution: spread the nv valid points evenly over
+    # the K capacity slots (still in raster order, invalid padding
+    # interleaved).  The fused Pallas kernel (ops/pallas/gn_kernel.py) tiles
+    # points in POINT_BLOCK chunks and samples each chunk from a static-height
+    # row band; with valid compacted to the front, a half-full template packs
+    # all its points into the first half of the chunks and each chunk's row
+    # span ~doubles past the band (measured: 48-row spans at 8.5k/16k fill vs
+    # a 48-row band -> ~6% of points invalidated).  Even fill keeps every
+    # chunk's span ~rows/NB regardless of fill.  All downstream consumers
+    # reduce over masked points, so the order change is free.
+    K = capacity
+    i = jnp.arange(K)
+    nv = jnp.sum(valid)
+    nv_safe = jnp.maximum(nv, 1)
+    # strictly-increasing distinct dest slots for the first nv entries
+    dest = jnp.where(i < nv, (i * K) // nv_safe, K)
+    occupied = jnp.zeros((K + 1,), bool).at[dest].set(True)[:K]
+    src_valid = jnp.zeros((K,), jnp.int32).at[dest].set(
+        i.astype(jnp.int32), mode="drop")
+    free_rank = (jnp.cumsum(~occupied) - 1).astype(jnp.int32)
+    src = jnp.where(occupied, src_valid, nv.astype(jnp.int32) + free_rank)
+    idx = idx[src]
+    valid = valid[src]
     rows = (idx // W).astype(jnp.int32)
     cols = (idx % W).astype(jnp.int32)
     d = disparity.reshape(-1)[idx]

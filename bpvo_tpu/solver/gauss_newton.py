@@ -67,11 +67,14 @@ class GNOptions:
     verbose: bool = False
     # warp parameterization: "RigidBody" | "DisparitySpace" (config warpType)
     warp: str = "RigidBody"
-    # linearization backend: "jnp" (XLA gather path) or "fused" (the Pallas
+    # linearization backend: "jnp" (XLA gather path), "fused" (the Pallas
     # band+one-hot kernel, ops/pallas/gn_kernel.py — RigidBody +
-    # Linear/Cosine only; falls back to jnp otherwise).  Default from the
-    # BPVO_LINEARIZE env var so the bench can A/B both on device.
-    linearize: str = os.environ.get("BPVO_LINEARIZE", "jnp")
+    # Linear/Cosine only; falls back to jnp otherwise), or "auto" (fused on
+    # TPU, jnp elsewhere — chosen by on-device measurement, docs/
+    # PALLAS_TPU.json linearize_fused_L0_*: 0.476 vs 0.783 ms intensity,
+    # 0.882 vs 0.945 ms bitplanes).  BPVO_LINEARIZE env var overrides so the
+    # bench can A/B both on device.
+    linearize: str = os.environ.get("BPVO_LINEARIZE", "auto")
 
     @classmethod
     def from_params(cls, p: AlgorithmParameters, coarse: bool) -> "GNOptions":
@@ -177,7 +180,17 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
     f32 = jnp.float32
     T0 = jnp.asarray(T_init, f32)
     s, c = tdata.norm_scale, tdata.norm_center
-    use_fused = (opts.linearize == "fused" and opts.warp == "RigidBody"
+    lin = opts.linearize
+    if lin == "auto":
+        # Measured on device (docs/PALLAS_TPU.json): the fused kernel's
+        # one-hot MXU sampling beats XLA's gather path 2.1x for single-channel
+        # descriptors (0.37 vs 0.78 ms at KITTI L0), but its column-mix matmul
+        # cost scales with channel count while the gather path's does not
+        # (8-ch BitPlanes: 1.01 vs 0.95 ms).  Auto picks by measurement.
+        one_channel = tdata.pixels.shape[0] == 1
+        lin = ("fused" if (jax.default_backend() == "tpu" and one_channel)
+               else "jnp")
+    use_fused = (lin == "fused" and opts.warp == "RigidBody"
                  and opts.interp in (InterpolationType.LINEAR,
                                      InterpolationType.COSINE))
     if linearize_fn is None and use_fused:
@@ -191,10 +204,19 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
         from bpvo_tpu.ops.pallas import gn_kernel
         C_, rows_, cols_ = channels.shape
         K_ = tdata.pixels.shape[1]
+        interpret_ = jax.default_backend() == "cpu"
         runner = gn_kernel.make_fused_linearize(
             rows_, cols_, C_, K_, opts.loss, opts.interp,
-            interpret=(jax.default_backend() == "cpu"))
+            interpret=interpret_)
+        # sigma is estimated from channel-0 residuals only (same policy as
+        # the jnp path / reference linear_system_builder.cc:302-315), so the
+        # estimation pass runs a 1-channel kernel instance: (1+C)/C kernel
+        # cost instead of 2x while scale is still converging
+        runner0 = (runner if C_ == 1 else gn_kernel.make_fused_linearize(
+            rows_, cols_, 1, K_, opts.loss, opts.interp,
+            interpret=interpret_))
         jp = gn_kernel.pack_template(tdata.pixels, tdata.jacobians)
+        ch_pad = gn_kernel.pad_channels(channels, rows_, cols_)
 
         def linearize_fn(T, scale, dscale):
             u, v, Z = warp_mod.project(cam, T, tdata.points)
@@ -203,13 +225,14 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
             do_est = dscale > opts.scale_tolerance
 
             def est(_):
-                _H, _g, _f, r0, _w = runner(u, v, ok, channels, jp, scale)
+                _H, _g, _f, r0, _w = runner0(u, v, ok, ch_pad[:1],
+                                             jp[:1], scale)
                 return mestimator.estimate_scale(r0, ok,
                                                 opts.use_histogram_median)
 
             sigma = jax.lax.cond(do_est, est, lambda _: scale, None)
             new_delta = jnp.where(do_est, jnp.abs(sigma - scale), dscale)
-            H, g, f_sq, _r0, w = runner(u, v, ok, channels, jp, sigma)
+            H, g, f_sq, _r0, w = runner(u, v, ok, ch_pad, jp, sigma)
             return H, g, jnp.sqrt(f_sq), sigma, new_delta, w
     elif linearize_fn is None:
         # channels are constant across iterations: pre-shift them once so each

@@ -207,6 +207,28 @@ def probe_fused_iteration():
                 return c + f_sq * 1e-9
 
             record(f"linearize_fused_L0_{name}", loop_time(body_fused))
+
+            # compiled-on-device numeric parity vs the jnp path at the same
+            # pose/sigma (the interpret-mode tests cover CPU; this covers the
+            # actual Mosaic lowering)
+            T = T0
+            # delta_scale=0 -> both paths use the SAME given sigma (no
+            # in-call re-estimation), so outputs are directly comparable
+            Hj, gj, fj, _s, _d, wj = jax.jit(
+                lambda td_, ch_, cam_, T_, s_: gn._linearize(
+                    td_, ch_, cam_, T_, s_, jnp.asarray(0.0, jnp.float32),
+                    opts, packed=packed))(td, channels, cam, T, sigma)
+            Hf, gf, ff_sq, _r0, wf, _ok = jax.jit(
+                partial(gn_kernel.fused_linearize, loss=opts.loss))(
+                    td, channels, cam, T, sigma, jp=jp)
+            dH = float(jnp.max(jnp.abs(Hf - Hj)) / jnp.max(jnp.abs(Hj)))
+            dg = float(jnp.max(jnp.abs(gf - gj)) /
+                       jnp.maximum(jnp.max(jnp.abs(gj)), 1e-20))
+            df = abs(float(jnp.sqrt(ff_sq) - fj)) / max(abs(float(fj)), 1e-20)
+            RESULTS[f"fused_vs_jnp_reldiff_{name}"] = {
+                "H": round(dH, 7), "g": round(dg, 7), "f": round(df, 7)}
+            print(f"fused-vs-jnp rel diff ({name}): H {dH:.2e} g {dg:.2e} "
+                  f"f {df:.2e}")
         except Exception as e:  # kernel may not exist/compile yet
             print(f"fused kernel ({name}): {type(e).__name__}: {e}")
         del vo

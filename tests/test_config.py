@@ -67,7 +67,8 @@ def test_repo_configs_parse():
     """Every shipped conf/*.cfg parses and names a known dataset type."""
     conf_dir = os.path.join(os.path.dirname(__file__), "..", "conf")
     known = {"kitti", "tsukuba_synthetic", "tsukuba_stereo", "tunnel",
-             "synthetic"}
+             "synthetic", "synthetic_corridor", "synthetic_occluder",
+             "disparity"}
     n = 0
     for name in sorted(os.listdir(conf_dir)):
         if name.endswith(".cfg"):

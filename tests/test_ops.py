@@ -235,6 +235,39 @@ class TestSelection:
         assert int(sel.num_valid) == 1
         assert (int(sel.rows[0]), int(sel.cols[0])) == (10, 10)
 
+    def test_block_balanced_layout(self):
+        """With capacity only part-filled, valid points must be spread evenly
+        across POINT_BLOCK-sized chunks in raster order (the fused Pallas
+        kernel's per-chunk row band relies on it, ops/pallas/gn_kernel.py)."""
+        H, W = 96, 128
+        r = np.random.default_rng(7)
+        sal = r.uniform(0, 1, (H, W)).astype(np.float32)
+        sal[sal < 0.8] = 0.0  # ~20% of pixels selectable (under capacity)
+        disp = np.full((H, W), 5.0, np.float32)
+        cap = 4096
+        sel = selection.select_pixels(
+            jnp.asarray(sal), jnp.asarray(disp), cap,
+            min_saliency=0.1, nms_radius=0, use_nms=False,
+            min_disparity=0.1, max_disparity=100.0, border=3)
+        nv = int(sel.num_valid)
+        assert 0 < nv < cap  # part-filled, the interesting regime
+        valid = np.asarray(sel.valid)
+        rows = np.asarray(sel.rows)
+        B = 1024
+        nb = cap // B
+        counts = [int(valid[b * B:(b + 1) * B].sum()) for b in range(nb)]
+        # even fill: each chunk within 2 of nv/nb
+        assert max(counts) - min(counts) <= 2, counts
+        # raster order preserved among valid points globally
+        vr = rows[valid]
+        vc = np.asarray(sel.cols)[valid]
+        ridx = vr.astype(np.int64) * W + vc
+        assert np.all(np.diff(ridx) > 0)
+        # per-chunk row spans ~ H/nb, not H/(nb*fill_fraction)
+        spans = [np.ptp(rows[b * B:(b + 1) * B][valid[b * B:(b + 1) * B]])
+                 for b in range(nb)]
+        assert max(spans) <= (H // nb) + 8, spans
+
     def test_capacity_overflow_keeps_most_salient(self):
         H, W = 32, 32
         r = np.random.default_rng(1)
