@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bpvo_tpu.config import AlgorithmParameters
-from bpvo_tpu.ops import imgproc
+from bpvo_tpu.ops import imgproc, pyramid
 from bpvo_tpu.parallel import sharded
 from bpvo_tpu.parallel.sharded import POINT_AXIS, template_spec
 from bpvo_tpu.solver import gauss_newton as gn
@@ -101,10 +101,7 @@ def make_sharded_vo(mesh: Mesh, K, baseline: float, image_size,
     from bpvo_tpu.ops import selection as selection_mod
     base_cam = warp_mod.CameraModel.from_K(K, baseline)
     cams = tuple(base_cam.at_level(l) for l in range(p.numPyramidLevels))
-    shapes = [(rows, cols)]
-    for _ in range(1, p.numPyramidLevels):
-        r, c = shapes[-1]
-        shapes.append(((r + 1) // 2, (c + 1) // 2))
+    shapes = pyramid.level_shapes(rows, cols, p.numPyramidLevels)
     capacities = _round_capacities(
         tuple(selection_mod.capacity_for_level(p, r, c, l)
               for l, (r, c) in enumerate(shapes)), n)

@@ -182,11 +182,13 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
     s, c = tdata.norm_scale, tdata.norm_center
     lin = opts.linearize
     if lin == "auto":
-        # Measured on device (docs/PALLAS_TPU.json): the fused kernel's
-        # one-hot MXU sampling beats XLA's gather path 2.1x for single-channel
-        # descriptors (0.37 vs 0.78 ms at KITTI L0), but its column-mix matmul
-        # cost scales with channel count while the gather path's does not
-        # (8-ch BitPlanes: 1.01 vs 0.95 ms).  Auto picks by measurement.
+        # Measured on device (docs/PALLAS_TPU.json + PERFORMANCE.md A/B):
+        # the fused kernel's one-hot MXU sampling beats XLA's gather path
+        # 2.1x per call for single-channel descriptors (0.37 vs 0.78 ms at
+        # KITTI L0) and 332.6 vs 317.8 Hz end-to-end with the single-pass
+        # sigma rebuild below, but its column-mix matmul cost scales with
+        # channel count while the gather path's does not (8-ch BitPlanes:
+        # 1.01 vs 0.95 ms).  Auto picks by measurement.
         one_channel = tdata.pixels.shape[0] == 1
         lin = ("fused" if (jax.default_backend() == "tpu" and one_channel)
                else "jnp")
@@ -218,22 +220,56 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
         jp = gn_kernel.pack_template(tdata.pixels, tdata.jacobians)
         ch_pad = gn_kernel.pad_channels(channels, rows_, cols_)
 
-        def linearize_fn(T, scale, dscale):
-            u, v, Z = warp_mod.project(cam, T, tdata.points)
-            ok = tdata.valid & (Z > 1e-6) & interp_mod.valid_mask(
-                u, v, rows_, cols_, opts.interp)
-            do_est = dscale > opts.scale_tolerance
+        if C_ == 1:
+            # Single-channel: ONE kernel pass per iteration.  The kernel runs
+            # at the incoming sigma and returns r0 = all residuals; when
+            # sigma is still converging, the new sigma + weights + H/g are
+            # recomputed in XLA from r0 and the HBM-resident Jacobians
+            # (~0.2 ms) instead of a second 0.36 ms kernel pass — measured
+            # end-to-end, the two-pass variant LOST to the plain gather path
+            # (271 vs 318 Hz) precisely because est runs most iterations.
+            # Out-of-band kernel-invalidated points have r0 == 0 and
+            # contribute weight-1 zero-residual rows to the rebuilt H; the
+            # block-balanced selection keeps that set empty (gn_kernel.py).
+            def linearize_fn(T, scale, dscale):
+                u, v, Z = warp_mod.project(cam, T, tdata.points)
+                ok = tdata.valid & (Z > 1e-6) & interp_mod.valid_mask(
+                    u, v, rows_, cols_, opts.interp)
+                do_est = dscale > opts.scale_tolerance
+                H0, g0, f0_sq, r0, w0 = runner(u, v, ok, ch_pad, jp, scale)
 
-            def est(_):
-                _H, _g, _f, r0, _w = runner0(u, v, ok, ch_pad[:1],
-                                             jp[:1], scale)
-                return mestimator.estimate_scale(r0, ok,
-                                                opts.use_histogram_median)
+                def est(_):
+                    sigma = mestimator.estimate_scale(
+                        r0, ok, opts.use_histogram_median)
+                    w = mestimator.compute_weights(
+                        opts.loss, r0[None, :], ok[None, :], sigma)
+                    Hn, gn_, fn_sq = linear_system.build(
+                        tdata.jacobians, r0[None, :], w)
+                    return Hn, gn_, jnp.sqrt(fn_sq), sigma, w
 
-            sigma = jax.lax.cond(do_est, est, lambda _: scale, None)
-            new_delta = jnp.where(do_est, jnp.abs(sigma - scale), dscale)
-            H, g, f_sq, _r0, w = runner(u, v, ok, ch_pad, jp, sigma)
-            return H, g, jnp.sqrt(f_sq), sigma, new_delta, w
+                def keep(_):
+                    return H0, g0, jnp.sqrt(f0_sq), scale, w0
+
+                H, g, f, sigma, w = jax.lax.cond(do_est, est, keep, None)
+                new_delta = jnp.where(do_est, jnp.abs(sigma - scale), dscale)
+                return H, g, f, sigma, new_delta, w
+        else:
+            def linearize_fn(T, scale, dscale):
+                u, v, Z = warp_mod.project(cam, T, tdata.points)
+                ok = tdata.valid & (Z > 1e-6) & interp_mod.valid_mask(
+                    u, v, rows_, cols_, opts.interp)
+                do_est = dscale > opts.scale_tolerance
+
+                def est(_):
+                    _H, _g, _f, r0, _w = runner0(u, v, ok, ch_pad[:1],
+                                                 jp[:1], scale)
+                    return mestimator.estimate_scale(
+                        r0, ok, opts.use_histogram_median)
+
+                sigma = jax.lax.cond(do_est, est, lambda _: scale, None)
+                new_delta = jnp.where(do_est, jnp.abs(sigma - scale), dscale)
+                H, g, f_sq, _r0, w = runner(u, v, ok, ch_pad, jp, sigma)
+                return H, g, jnp.sqrt(f_sq), sigma, new_delta, w
     elif linearize_fn is None:
         # channels are constant across iterations: pre-shift them once so each
         # iteration's warped sampling is a single gather (interp.pack_taps)

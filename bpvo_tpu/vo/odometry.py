@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bpvo_tpu.config import AlgorithmParameters
-from bpvo_tpu.ops import descriptors, imgproc, selection
+from bpvo_tpu.ops import descriptors, imgproc, pyramid, selection
 from bpvo_tpu.types import KeyFramingReason, Result
 from bpvo_tpu.vo import template_data as td_mod
 from bpvo_tpu.vo import warp as warp_mod
@@ -106,10 +106,7 @@ class VisualOdometry:
         self._rows, self._cols = rows, cols
         base_cam = warp_mod.CameraModel.from_K(K, baseline)
         self._cams = [base_cam.at_level(l) for l in range(p.numPyramidLevels)]
-        shapes = [(rows, cols)]
-        for _ in range(1, p.numPyramidLevels):
-            r, c = shapes[-1]
-            shapes.append(((r + 1) // 2, (c + 1) // 2))
+        shapes = pyramid.level_shapes(rows, cols, p.numPyramidLevels)
         self._capacities = [
             selection.capacity_for_level(p, r, c, l)
             for l, (r, c) in enumerate(shapes)]
