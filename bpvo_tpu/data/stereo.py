@@ -208,6 +208,16 @@ def _sgm(L, R, num_disparities: int, p1: float, p2: float,
         from bpvo_tpu.ops.pallas import sgm_kernel
         a = sgm_kernel.aggregate_4dir(cost, p1, p2)
         return _wta_subpixel(a, D)
+    return _wta_subpixel(_aggregate_4dir_scan(cost, p1, p2), D)
+
+
+def _aggregate_4dir_scan(cost, p1: float, p2: float):
+    """lax.scan lowering of the 4-direction SGM aggregation (one tiny XLA
+    step per scanline position; the Pallas whole-direction alternative is
+    ops/pallas/sgm_kernel.aggregate_4dir — compared on device in
+    docs/PALLAS_TPU.json sgm_aggregate4_*)."""
+    import jax
+    import jax.numpy as jnp
 
     def aggregate(cost_seq):
         """cost_seq (T, B, D): scan along T, B = batch of parallel scanlines."""
@@ -232,7 +242,7 @@ def _sgm(L, R, num_disparities: int, p1: float, p2: float,
     # top->bottom and bottom->top (scan over H, batch over W)
     a = a + aggregate(cost)
     a = a + aggregate(cost[::-1])[::-1]
-    return _wta_subpixel(a, D)
+    return a
 
 
 def _wta_subpixel(a, D: int):
@@ -252,7 +262,15 @@ def _wta_subpixel(a, D: int):
 
 class TpuSGM(StereoAlgorithm):
     def __init__(self, cf: ConfigFile = None, num_disparities: int = 128,
-                 p1: float = 2.0, p2: float = 8.0, use_pallas: bool = False):
+                 p1: float = 2.0, p2: float = 8.0, use_pallas: bool = None):
+        if use_pallas is None:
+            # measured default (docs/PALLAS_TPU.json sgm_aggregate4_*): the
+            # whole-direction Pallas kernel aggregates 4.0x faster than the
+            # per-step lax.scan lowering on device (5.89 vs 23.73 ms at
+            # 376x640x64); on CPU the kernel would run in interpret mode, so
+            # the scan path stays the host default
+            import jax
+            use_pallas = jax.default_backend() == "tpu"
         if cf is not None:
             num_disparities = cf.get("numberOfDisparities", num_disparities, int)
             # reference SGM penalties are in census-weighted units

@@ -234,12 +234,34 @@ def probe_fused_iteration():
         del vo
 
 
+def probe_sgm():
+    """SGM 4-direction aggregation: Pallas whole-direction kernel vs the
+    lax.scan-per-step lowering, at KITTI-ish stereo shape."""
+    from bpvo_tpu.data import stereo
+    from bpvo_tpu.ops.pallas.sgm_kernel import aggregate_4dir
+
+    Hs, Ws, D = 376, 640, 64
+    cost = jnp.asarray(rng.random((Hs, Ws, D)) * 8, jnp.float32)
+
+    def body_pallas(c):
+        a = aggregate_4dir(cost + c * 0, 1.0, 8.0)
+        return c + a[0, 0, 0] * 1e-9
+
+    def body_scan(c):
+        a = stereo._aggregate_4dir_scan(cost + c * 0, 1.0, 8.0)
+        return c + a[0, 0, 0] * 1e-9
+
+    record("sgm_aggregate4_pallas", loop_time(body_pallas, n=20))
+    record("sgm_aggregate4_scan", loop_time(body_scan, n=20))
+
+
 def main():
     print(f"devices: {jax.devices()}")
     steps = [("xla_take", xla_take_probes),
              ("pallas_gather", pallas_inkernel_gather),
              ("irls", probe_irls),
              ("census", probe_census),
+             ("sgm", probe_sgm),
              ("fused_iter", probe_fused_iteration)]
     only = sys.argv[1:] or None
     for name, fn in steps:
