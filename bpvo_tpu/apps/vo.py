@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--points", action="store_true",
                     help="store point clouds (PLY) at keyframes")
     ap.add_argument("--dontstoretiming", action="store_true")
+    ap.add_argument("--viewer", "-v", action="store_true",
+                    help="display loop (GUI if available, else PNG dumps "
+                         "under <output>_frames/)")
     args = ap.parse_args()
 
     app = VoApp.from_config(
@@ -34,7 +37,8 @@ def main():
         points_prefix=args.output if args.points else "",
         data_buffer_size=args.buffersize,
         max_num_frames=args.numframes,
-        store_iteration_time=not args.dontstoretiming)
+        store_iteration_time=not args.dontstoretiming,
+        viewer=args.viewer)
     result = app.run()
     debug.info("done: %d frames @ %.2f Hz", result.num_frames, result.mean_hz)
 

@@ -32,7 +32,10 @@ class VoAppOptions:
     store_iteration_time: bool = True
     min_point_weight: float = 0.75  # conf 'minPointWeight'
     max_point_depth: float = 10.0   # conf 'maxDepth'
-    viewer: bool = False
+    viewer: bool = False            # display loop (vo_app.cc:42-124); GUI
+                                    # when available, else PNG dumps under
+                                    # <trajectory_prefix>_frames/
+    viewer_dump_every: int = 25
 
 
 @dataclasses.dataclass
@@ -81,6 +84,13 @@ class VoApp:
         n = 0
         t_start = time.perf_counter()
 
+        viewer = None
+        if o.viewer:
+            from bpvo_tpu.utils.viz import Viewer
+            dump = (o.trajectory_prefix + "_frames"
+                    if o.trajectory_prefix else "vo_frames")
+            viewer = Viewer(dump_dir=dump, dump_every=o.viewer_dump_every)
+
         max_frames = o.max_num_frames if o.max_num_frames > 0 else None
         with DatasetLoaderThread(self._dataset, o.data_buffer_size,
                                  max_frames=max_frames) as loader:
@@ -92,6 +102,12 @@ class VoApp:
                 iterations.append(sum(
                     s.num_iterations for s in result.optimizer_statistics))
                 n += 1
+
+                if viewer is not None and not viewer.show(
+                        frame.image, frame.disparity, hz=1000.0 / max(
+                            dt_ms, 1e-9), is_keyframe=result.is_keyframe):
+                    debug.info("viewer quit at frame %d", n)
+                    break
 
                 if result.point_cloud is not None and o.points_prefix:
                     pc = result.point_cloud.filtered(o.min_point_weight,
@@ -107,6 +123,8 @@ class VoApp:
                                " KF" if result.is_keyframe else "")
 
         total = time.perf_counter() - t_start
+        if viewer is not None:
+            viewer.close()
         self._write_outputs(frame_times, iterations)
         return VoAppResult(num_frames=n, total_time_s=total,
                            frame_times_ms=frame_times, iterations=iterations,

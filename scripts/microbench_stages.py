@@ -36,8 +36,13 @@ def loop_time(make_body, n=50, reps=5, warmup=2):
 
 
 def main():
+    from bpvo_tpu.types import DescriptorType
+    desc = (DescriptorType.BITPLANES if "bitplanes" in sys.argv[1:]
+            else DescriptorType.INTENSITY)
+    print(f"descriptor: {desc.name}")
     K, baseline, frames = bench_mod.synthesize_sequence(3)
     p = AlgorithmParameters(minSaliency=2.0, numPyramidLevels=4,
+                            descriptor=desc,
                             functionTolerance=1e-4, parameterTolerance=1e-6,
                             maxIterations=50)
     vo = DeviceVO(K, baseline, (bench_mod.ROWS, bench_mod.COLS), p)

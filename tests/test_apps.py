@@ -144,6 +144,25 @@ class TestVoApp:
         assert os.path.exists(prefix + "_time.txt")
         assert len(kitti_eval.load_poses(prefix + "_kitti.txt")) == 6
 
+    def test_viewer_headless_dumps_frames(self, tmp_path):
+        """The viewer option (reference vo_app.cc:42-124 display loop) falls
+        back to PNG dumps when no GUI is available."""
+        from bpvo_tpu.apps.vo_app import VoApp, VoAppOptions
+        ds = SyntheticPlaneDataset(rows=120, cols=160, n_frames=4)
+        p = AlgorithmParameters(minSaliency=2.0, numPyramidLevels=3,
+                                functionTolerance=1e-4,
+                                parameterTolerance=1e-6)
+        prefix = str(tmp_path / "out")
+        app = VoApp(ds, p, VoAppOptions(trajectory_prefix=prefix,
+                                        viewer=True, viewer_dump_every=2))
+        res = app.run(log_every=0)
+        assert res.num_frames == 4
+        dumps = sorted(os.listdir(prefix + "_frames"))
+        assert len(dumps) == 2 and dumps[0].endswith(".png")
+        import cv2
+        im = cv2.imread(os.path.join(prefix + "_frames", dumps[0]))
+        assert im is not None and im.shape == (120, 160, 3)
+
     def test_trajectory_matches_gt(self, tmp_path):
         from bpvo_tpu.apps.vo_app import VoApp, VoAppOptions
         ds = SyntheticPlaneDataset(
