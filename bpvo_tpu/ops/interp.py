@@ -201,14 +201,22 @@ class PackedTaps(NamedTuple):
     W: int
 
 
-def pack_taps(channels, method: InterpolationType) -> PackedTaps:
-    """Build the loop-invariant packed-tap array for ``sample_packed``."""
+def pack_taps(channels, method: InterpolationType, dtype=None) -> PackedTaps:
+    """Build the loop-invariant packed-tap array for ``sample_packed``.
+
+    ``dtype`` optionally stores the taps narrower than f32 (e.g. bfloat16 —
+    halves the per-iteration gather bandwidth, the dominant cost for
+    multi-channel descriptors); interpolation arithmetic still runs in f32
+    after the gather, so the only precision loss is the value quantization.
+    """
     C, H, W = channels.shape
     flat = channels.reshape(C, H * W)
     offs = _tap_offsets(method)
     shifted = jnp.stack([jnp.roll(flat, -(dy * W + dx), axis=1)
                          for dy, dx in offs], axis=0)     # (T, C, HW)
     data = shifted.reshape(len(offs) * C, H * W).T        # (HW, T*C)
+    if dtype is not None:
+        data = data.astype(dtype)
     return PackedTaps(data=data, C=C, H=H, W=W)
 
 
@@ -220,16 +228,18 @@ def sample_packed(pt: PackedTaps, u, v, valid,
     N = u.shape[0]
     T = len(_tap_offsets(method))
 
+    f32 = jnp.float32
     xi = jnp.floor(u).astype(jnp.int32)
     yi = jnp.floor(v).astype(jnp.int32)
-    xf = (u - xi).astype(pt.data.dtype)
-    yf = (v - yi).astype(pt.data.dtype)
+    xf = (u - xi).astype(f32)
+    yf = (v - yi).astype(f32)
     lo, hi_x, hi_y = border_bounds(method)
     xi = jnp.clip(xi, lo, W - 1 - hi_x)
     yi = jnp.clip(yi, lo, H - 1 - hi_y)
 
     g = jnp.take(pt.data, yi * W + xi, axis=0)        # (N, T*C)
-    g = g.T.reshape(T, C, N)                          # row t*C+c -> (t, c)
+    # arithmetic in f32 regardless of the storage dtype (see pack_taps)
+    g = g.T.reshape(T, C, N).astype(f32)              # row t*C+c -> (t, c)
 
     if method in (InterpolationType.LINEAR, InterpolationType.COSINE):
         cx = _coeffs_linear(xf) if method == InterpolationType.LINEAR \

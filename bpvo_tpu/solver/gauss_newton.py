@@ -75,6 +75,16 @@ class GNOptions:
     # 0.882 vs 0.945 ms bitplanes).  BPVO_LINEARIZE env var overrides so the
     # bench can A/B both on device.
     linearize: str = os.environ.get("BPVO_LINEARIZE", "auto")
+    # packed-tap storage dtype for the jnp (gather) linearize path:
+    # "f32" | "bf16" | "auto" (= f32).  bf16 taps were hypothesized to halve
+    # the multi-channel gather cost (32 taps/point for 8-ch BitPlanes = the
+    # 0.69 ms/iter L0 cost) and measured accuracy-neutral (corridor ATE
+    # 0.0120 vs 0.0123 m) — but SLOWER end-to-end on device (134.9 vs
+    # 169-180 Hz BitPlanes): the v5e gather is per-element-overhead-bound,
+    # not byte-bound (same signal at C=1: packed_taps bf16 0.446 vs f32
+    # 0.449 ms, docs/PALLAS_TPU.json).  Kept as an env-selectable option
+    # for hardware where the tradeoff flips.
+    taps_dtype: str = os.environ.get("BPVO_TAPS_DTYPE", "auto")
 
     @classmethod
     def from_params(cls, p: AlgorithmParameters, coarse: bool) -> "GNOptions":
@@ -274,7 +284,9 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
         # channels are constant across iterations: pre-shift them once so each
         # iteration's warped sampling is a single gather (interp.pack_taps)
         from bpvo_tpu.ops import interp as interp_mod
-        packed = interp_mod.pack_taps(channels, opts.interp)
+        packed = interp_mod.pack_taps(
+            channels, opts.interp,
+            dtype=jnp.bfloat16 if opts.taps_dtype == "bf16" else None)
 
         def linearize_fn(T, scale, dscale):
             return _linearize(tdata, channels, cam, T, scale, dscale, opts,

@@ -145,6 +145,23 @@ class TestInterp:
         got = np.asarray(interp.sample_packed(packed, u, v, valid, method))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
+    def test_packed_taps_bf16_storage(self):
+        """bf16 tap storage (GNOptions.taps_dtype option): arithmetic stays
+        f32, error bounded by the bf16 value quantization (~0.4%)."""
+        from bpvo_tpu.types import InterpolationType
+        rng = np.random.default_rng(5)
+        ch = jnp.asarray(rng.random((8, 24, 31)).astype(np.float32))
+        u = jnp.asarray(rng.uniform(0, 29, 200).astype(np.float32))
+        v = jnp.asarray(rng.uniform(0, 22, 200).astype(np.float32))
+        m = InterpolationType.LINEAR
+        valid = interp.valid_mask(u, v, 24, 31, m)
+        want = np.asarray(interp.sample(ch, u, v, valid, m))
+        packed = interp.pack_taps(ch, m, dtype=jnp.bfloat16)
+        assert packed.data.dtype == jnp.bfloat16
+        got = np.asarray(interp.sample_packed(packed, u, v, valid, m))
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, want, atol=8e-3)
+
 
 class TestDescriptors:
     def test_channel_counts(self):
