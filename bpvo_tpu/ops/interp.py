@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from bpvo_tpu.types import InterpolationType
@@ -194,11 +195,19 @@ def _tap_offsets(method: InterpolationType):
 class PackedTaps(NamedTuple):
     """Channels pre-shifted to every tap offset: data[p, t*C+c] =
     channels[c].flat[p + dy_t*W + dx_t] (edge rows never read — the sample
-    clamps keep every p + shift in range)."""
-    data: jnp.ndarray   # (H*W, T*C)
+    clamps keep every p + shift in range).
+
+    With ``pair_packed`` the row holds T*C/2 f32 words, each the bitcast of
+    two adjacent bf16 taps — halves the gathered row bytes while keeping the
+    f32 memory layout the TPU gathers efficiently (a plain bf16 array
+    gathers SLOWER on v5e; both measured, docs/PALLAS_TPU.json /
+    PERFORMANCE.md).  Like C/H/W, the flag is consumed at trace time — close
+    over a PackedTaps rather than passing it as a jit argument."""
+    data: jnp.ndarray   # (H*W, T*C) — or (H*W, T*C/2) f32 when pair_packed
     C: int
     H: int
     W: int
+    pair_packed: bool = False
 
 
 def pack_taps(channels, method: InterpolationType, dtype=None) -> PackedTaps:
@@ -215,6 +224,13 @@ def pack_taps(channels, method: InterpolationType, dtype=None) -> PackedTaps:
     shifted = jnp.stack([jnp.roll(flat, -(dy * W + dx), axis=1)
                          for dy, dx in offs], axis=0)     # (T, C, HW)
     data = shifted.reshape(len(offs) * C, H * W).T        # (HW, T*C)
+    if dtype == "bf16pack":
+        tc = data.shape[1]
+        assert tc % 2 == 0, tc
+        data = jax.lax.bitcast_convert_type(
+            data.astype(jnp.bfloat16).reshape(H * W, tc // 2, 2),
+            jnp.float32)                                  # (HW, T*C/2) f32
+        return PackedTaps(data=data, C=C, H=H, W=W, pair_packed=True)
     if dtype is not None:
         data = data.astype(dtype)
     return PackedTaps(data=data, C=C, H=H, W=W)
@@ -237,7 +253,9 @@ def sample_packed(pt: PackedTaps, u, v, valid,
     xi = jnp.clip(xi, lo, W - 1 - hi_x)
     yi = jnp.clip(yi, lo, H - 1 - hi_y)
 
-    g = jnp.take(pt.data, yi * W + xi, axis=0)        # (N, T*C)
+    g = jnp.take(pt.data, yi * W + xi, axis=0)        # (N, T*C [/2 packed])
+    if pt.pair_packed:
+        g = jax.lax.bitcast_convert_type(g, jnp.bfloat16).reshape(N, T * C)
     # arithmetic in f32 regardless of the storage dtype (see pack_taps)
     g = g.T.reshape(T, C, N).astype(f32)              # row t*C+c -> (t, c)
 

@@ -75,15 +75,15 @@ class GNOptions:
     # 0.882 vs 0.945 ms bitplanes).  BPVO_LINEARIZE env var overrides so the
     # bench can A/B both on device.
     linearize: str = os.environ.get("BPVO_LINEARIZE", "auto")
-    # packed-tap storage dtype for the jnp (gather) linearize path:
-    # "f32" | "bf16" | "auto" (= f32).  bf16 taps were hypothesized to halve
-    # the multi-channel gather cost (32 taps/point for 8-ch BitPlanes = the
-    # 0.69 ms/iter L0 cost) and measured accuracy-neutral (corridor ATE
-    # 0.0120 vs 0.0123 m) — but SLOWER end-to-end on device (134.9 vs
-    # 169-180 Hz BitPlanes): the v5e gather is per-element-overhead-bound,
-    # not byte-bound (same signal at C=1: packed_taps bf16 0.446 vs f32
-    # 0.449 ms, docs/PALLAS_TPU.json).  Kept as an env-selectable option
-    # for hardware where the tradeoff flips.
+    # packed-tap storage for the jnp (gather) linearize path: "f32" |
+    # "bf16" | "bf16pack" | "auto".  The multi-channel gather dominates
+    # BitPlanes (32 taps/point = 693 us/iter at L0), and three storages were
+    # measured end-to-end on device: f32 rows 169-180 Hz, plain bf16 rows
+    # 134.9 Hz (bf16 row gathers lower badly on v5e), and "bf16pack" — two
+    # bf16 taps bitcast into each gathered f32 word, halving the row's
+    # f32-word count — 186.1 Hz.  Auto picks bf16pack for C > 1 on TPU and
+    # f32 elsewhere; bf16-valued taps are accuracy-neutral (corridor ATE
+    # 0.0120 vs 0.0123 m).  See PERFORMANCE.md.
     taps_dtype: str = os.environ.get("BPVO_TAPS_DTYPE", "auto")
 
     @classmethod
@@ -284,9 +284,16 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
         # channels are constant across iterations: pre-shift them once so each
         # iteration's warped sampling is a single gather (interp.pack_taps)
         from bpvo_tpu.ops import interp as interp_mod
+        td_ = opts.taps_dtype
+        if td_ == "auto":
+            # bf16pack: two bf16 taps bitcast into each gathered f32 word —
+            # halves row bytes while keeping the f32 gather layout (plain
+            # bf16 rows gather SLOWER on v5e; both measured, see taps_dtype)
+            td_ = ("bf16pack" if (jax.default_backend() == "tpu"
+                                  and channels.shape[0] > 1) else "f32")
         packed = interp_mod.pack_taps(
             channels, opts.interp,
-            dtype=jnp.bfloat16 if opts.taps_dtype == "bf16" else None)
+            dtype={"bf16": jnp.bfloat16, "bf16pack": "bf16pack"}.get(td_))
 
         def linearize_fn(T, scale, dscale):
             return _linearize(tdata, channels, cam, T, scale, dscale, opts,

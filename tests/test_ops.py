@@ -161,6 +161,13 @@ class TestInterp:
         got = np.asarray(interp.sample_packed(packed, u, v, valid, m))
         assert got.dtype == np.float32
         np.testing.assert_allclose(got, want, atol=8e-3)
+        # bf16pack: pairs of bf16 taps bitcast into f32 gather words —
+        # identical quantization to plain bf16 storage
+        pp = interp.pack_taps(ch, m, dtype="bf16pack")
+        assert pp.pair_packed and pp.data.dtype == jnp.float32
+        assert pp.data.shape[1] == packed.data.shape[1] // 2
+        got2 = np.asarray(interp.sample_packed(pp, u, v, valid, m))
+        np.testing.assert_allclose(got2, got, atol=0, rtol=0)
 
 
 class TestDescriptors:
