@@ -295,9 +295,46 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
             channels, opts.interp,
             dtype={"bf16": jnp.bfloat16, "bf16pack": "bf16pack"}.get(td_))
 
-        def linearize_fn(T, scale, dscale):
-            return _linearize(tdata, channels, cam, T, scale, dscale, opts,
-                              packed=packed)
+        loss_irls = {LossFunctionType.TUKEY: "Tukey",
+                     LossFunctionType.HUBER: "Huber",
+                     LossFunctionType.L2: "L2"}.get(opts.loss)
+        irls_env = os.environ.get("BPVO_IRLS_KERNEL", "1")
+        use_irls = (tdata.pixels.shape[0] > 1 and loss_irls is not None
+                    and (irls_env == "force"      # tests: interpret on CPU
+                         or (irls_env != "0"
+                             and jax.default_backend() == "tpu")))
+        if use_irls:
+            # multi-channel reduction via the fused IRLS Pallas kernel
+            # (weights + H/g/f in one stream): measured 0.277 vs 0.356 ms
+            # for the jnp weights+build pair at BitPlanes scale (131k terms,
+            # docs/PALLAS_TPU.json irls_reduce_*).  Same sigma semantics as
+            # _linearize; sampling stays the packed-taps gather.
+            from bpvo_tpu.ops.pallas import irls_kernel
+            C_, K_ = tdata.pixels.shape
+            J6 = tdata.jacobians.reshape(C_ * K_, 6).T  # once per level run
+
+            def linearize_fn(T, scale, dscale):
+                r, valid = td_mod.compute_residuals(
+                    tdata, channels, cam, T, opts.interp, packed=packed,
+                    warp=opts.warp)
+                do_est = dscale > opts.scale_tolerance
+                sigma = jax.lax.cond(
+                    do_est,
+                    lambda op: mestimator.estimate_scale(
+                        op[0], op[1], opts.use_histogram_median),
+                    lambda op: scale, (r[0], valid))
+                new_delta = jnp.where(do_est, jnp.abs(sigma - scale), dscale)
+                vflat = jnp.broadcast_to(valid[None, :],
+                                         (C_, K_)).reshape(-1)
+                H, g, f_sq, w = irls_kernel.irls_reduce_w(
+                    J6, r.reshape(-1), vflat, sigma, loss_irls,
+                    interpret=(jax.default_backend() == "cpu"))
+                return (H, g, jnp.sqrt(f_sq), sigma, new_delta,
+                        w.reshape(C_, K_))
+        else:
+            def linearize_fn(T, scale, dscale):
+                return _linearize(tdata, channels, cam, T, scale, dscale,
+                                  opts, packed=packed)
 
     C, K = tdata.pixels.shape
     init = GNState(

@@ -84,6 +84,16 @@ class TestIrlsKernel:
                                    atol=1e-2)
         np.testing.assert_allclose(float(f_sq), float(f2), rtol=1e-4)
 
+        # _w variant: same reductions plus the per-point weights output
+        # (production multi-channel linearize path, gauss_newton.run)
+        Hw, gw, fw_sq, w_out = irls_kernel.irls_reduce_w(
+            jnp.asarray(J.T), jnp.asarray(r), jnp.asarray(valid), sigma,
+            loss=loss, interpret=INTERPRET)
+        np.testing.assert_allclose(np.asarray(Hw), np.asarray(H), atol=0)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(g), atol=0)
+        np.testing.assert_allclose(np.asarray(w_out), np.asarray(w),
+                                   rtol=1e-5, atol=1e-6)
+
 
 class TestFusedGnKernel:
     """The round-3 fused linearize kernel (SURVEY §7 Phase 4) vs the
@@ -161,6 +171,38 @@ class TestFusedGnKernel:
         np.testing.assert_allclose(np.asarray(H), np.asarray(H2),
                                    rtol=2e-4, atol=1e-2)
         np.testing.assert_allclose(float(f_sq), float(f2), rtol=1e-3)
+
+    def test_full_gn_with_irls_kernel_backend(self, monkeypatch):
+        """Multi-channel GN with the fused IRLS reduction kernel (the
+        BPVO_IRLS_KERNEL path, TPU-default for C>1) matches the jnp path."""
+        from test_gn import build_template, render_pair
+        from bpvo_tpu.solver import gauss_newton as gn
+
+        twist = [0.001, -0.002, 0.001, 0.01, -0.005, 0.015]
+        I0, I1, D, cam, T_true = render_pair(twist)
+        # 3-channel template: I plus shifted copies (any C>1 triggers irls)
+        ch0 = jnp.asarray(I0)
+        td, p = build_template(I0, D, cam, capacity=2048)
+        ch3 = jnp.stack([jnp.asarray(I1)] * 1 + [jnp.asarray(I1) * 0.5,
+                                                 jnp.asarray(I1) * 2.0])
+        td3 = td._replace(
+            pixels=jnp.concatenate([td.pixels, td.pixels * 0.5,
+                                    td.pixels * 2.0]),
+            jacobians=jnp.concatenate([td.jacobians, td.jacobians * 0.5,
+                                       td.jacobians * 2.0]))
+        opts = gn.GNOptions(function_tolerance=1e-4, parameter_tolerance=1e-6)
+
+        monkeypatch.setenv("BPVO_IRLS_KERNEL", "0")
+        st_jnp = gn.run(td3, ch3, cam, jnp.eye(4), opts)
+        monkeypatch.setenv("BPVO_IRLS_KERNEL", "force")
+        st_irls = gn.run(td3, ch3, cam, jnp.eye(4), opts)
+        np.testing.assert_allclose(np.asarray(st_irls.T),
+                                   np.asarray(st_jnp.T), atol=1e-4)
+        # weights are evaluated at each backend's own final iterate, so they
+        # carry the (1e-4-level) pose difference through the Tukey slope —
+        # compare on the [0, 1] weight scale, not tightly
+        np.testing.assert_allclose(np.asarray(st_irls.weights),
+                                   np.asarray(st_jnp.weights), atol=5e-3)
 
     def test_full_gn_with_fused_backend_recovers_motion(self):
         """gauss_newton.run with linearize='fused' must recover the same pose
