@@ -241,9 +241,14 @@ def main():
                 # than one RTT per frame does the serialized-RTT share get
                 # reported net of the tunnel.
                 frame_ms = 1e3 / online_hz
-                if frame_ms > rtt_ms:
+                # only meaningful when the frame time clearly exceeds the
+                # RTT — near frame_ms ~ rtt_ms the subtraction is noise and
+                # reports an arbitrarily inflated Hz (ADVICE round 3)
+                if frame_ms > 1.2 * rtt_ms:
                     result["online_hz_rtt_corrected"] = round(
                         1e3 / (frame_ms - rtt_ms), 2)
+                elif frame_ms > rtt_ms:
+                    result["online_rtt_dominated"] = True
                 detail["online"] = {
                     "hz": result["online_hz"], "rtt_ms": result[
                         "dispatch_rtt_ms"],

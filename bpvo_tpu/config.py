@@ -188,13 +188,15 @@ class AlgorithmParameters:
     # Constant-velocity motion model: warm-start each frame's GN at
     # T_delta_prev @ T_kf instead of T_kf, and the post-keyframe re-estimate
     # at T_delta_prev instead of Identity.  Fewer iterations when motion is
-    # smooth, BUT extrapolating a bad estimate can lock the solver into a
-    # false photometric minimum on self-similar texture (measured: permanent
-    # keyframe-every-frame aliasing on a periodic synthetic scene,
-    # docs/PERFORMANCE.md round 3).  Default False = the reference's
+    # smooth.  The prediction passes an acceptance gate (device_vo.
+    # _gated_warm_start): its coarse-level photometric cost must not exceed
+    # the zero-velocity start's, otherwise the cold start is used — this
+    # blocks the round-3 failure where extrapolating a bad estimate locked
+    # the solver into a false minimum on self-similar texture
+    # (docs/PERFORMANCE.md).  Setting False gives the reference's ungated
     # zero-velocity warm start (vo.cc:144-146) + Identity re-estimate init
     # (vo.cc:183-185).
-    withMotionModel: bool = False
+    withMotionModel: bool = True
     # Keyframe rotation test units.  True (default) = Euler magnitude in
     # DEGREES per the reference's documented contract (types.h:313-320
     # "Units: degrees").  False reproduces the reference IMPLEMENTATION,

@@ -333,6 +333,83 @@ class SyntheticOccluderDataset(SyntheticPlaneDataset):
         return "synthetic-occluder"
 
 
+class SyntheticIlluminationDataset(SyntheticPlaneDataset):
+    """Plane scene under TIME-VARYING LOCAL ILLUMINATION: a moving soft
+    shadow, a moving spotlight, and an oscillating vignette.  Geometry and
+    motion are identical to the plain noise plane; only the photometry moves.
+
+    This is the scenario Bit-Planes exists for (reference README.md:8-14, the
+    arXiv:1602.00307 companion paper): the census transform compares each
+    pixel only against its 3x3 neighbors (census.cc:59-91), so LOCALLY-smooth
+    illumination fields cancel out of every comparison, while raw intensity's
+    brightness-constancy assumption is violated outright.
+
+    Two design findings baked in (measured during round 4):
+
+    * GLOBAL gain/bias changes are nearly harmless to intensity VO — the
+      auto-scaled M-estimator makes the weight profile scale-free, so a pure
+      contrast change barely moves the photometric minimum.  The stressor
+      must be SPATIALLY varying (shadow/spot/vignette), which couples into
+      the geometric Jacobians.
+    * Frequent keyframing (every ~4 frames) lets intensity re-anchor to the
+      new illumination before much error accrues.  The discriminating
+      experiment therefore also throttles keyframes (see run_parity's
+      plane_illum profile: larger minTranslationMagToKeyFrame, no
+      frac-of-good-points keyframes) so templates PERSIST across lighting
+      change — the regime the Bit-Planes paper targets.  Measured at 60
+      frames: intensity ATE 0.0003 m (no illumination) -> 0.057 m (under
+      this illumination) while BitPlanes holds 0.007 -> 0.009 m.
+    """
+
+    def __init__(self, rows: int = 240, cols: int = 320, n_frames: int = 100,
+                 texture: str = "noise", shadow_amp: float = 0.65,
+                 shadow_sigma: float = 70.0, spot_amp: float = 0.8,
+                 spot_sigma: float = 60.0, vignette_amp: float = 0.25,
+                 vignette_osc: float = 0.2, vignette_period: float = 11.0,
+                 **kw):
+        super().__init__(rows=rows, cols=cols, n_frames=n_frames,
+                         texture=texture, **kw)
+        self._sha, self._shs = shadow_amp, shadow_sigma
+        self._spa, self._sps = spot_amp, spot_sigma
+        self._va, self._vo, self._vp = (vignette_amp, vignette_osc,
+                                        vignette_period)
+
+    @classmethod
+    def from_config(cls, cf: ConfigFile) -> "SyntheticIlluminationDataset":
+        return cls(rows=cf.get("SyntheticRows", 240, int),
+                   cols=cf.get("SyntheticCols", 320, int),
+                   n_frames=cf.get("SyntheticNumFrames", 100, int))
+
+    def get_frame(self, i: int) -> Optional[DatasetFrame]:
+        frame = super().get_frame(i)
+        if frame is None:
+            return None
+        I = frame.image
+        uu, vv = self._uu, self._vv
+        W, H = self._cols, self._rows
+        # shadow and spotlight sweep along incommensurate paths
+        c1u = (0.10 + 0.85 * ((i * 0.045) % 1.0)) * W
+        c1v = (0.15 + 0.75 * ((i * 0.062) % 1.0)) * H
+        c2u = (0.90 - 0.85 * ((i * 0.053) % 1.0)) * W
+        c2v = (0.80 - 0.70 * ((i * 0.041) % 1.0)) * H
+        shadow = 1.0 - self._sha * np.exp(
+            -((uu - c1u) ** 2 + (vv - c1v) ** 2) / (2.0 * self._shs ** 2))
+        spot = 1.0 + self._spa * np.exp(
+            -((uu - c2u) ** 2 + (vv - c2v) ** 2) / (2.0 * self._sps ** 2))
+        r2 = (((uu - W / 2) ** 2 + (vv - H / 2) ** 2)
+              / ((W / 2) ** 2 + (H / 2) ** 2))
+        vig = 1.0 - (self._va
+                     + self._vo * np.sin(2 * np.pi * i / self._vp)) * r2
+        I2 = shadow * spot * vig * I
+        return DatasetFrame(image=np.clip(I2, 0, 255).astype(np.float32),
+                            disparity=frame.disparity,
+                            filename=f"illum/{i:06d}")
+
+    @property
+    def name(self):
+        return "synthetic-illumination"
+
+
 def write_pfm(path: str, arr: np.ndarray) -> None:
     """Write a float32 grayscale PFM (bottom-up row order, little-endian) —
     a lossless disparity interchange format readable by OpenCV ``imread``

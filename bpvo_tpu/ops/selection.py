@@ -82,6 +82,10 @@ def select_pixels(saliency, disparity, capacity: int, *,
     # chunk's span ~rows/NB regardless of fill.  All downstream consumers
     # reduce over masked points, so the order change is free.
     K = capacity
+    # i * K must not overflow int32: K <= 46340 keeps i*K < 2^31.  Current
+    # capacities top out at 16384; widen to int64 before raising this bound
+    # (ADVICE round 3).
+    assert K <= 46340, "block-balance dest computation would overflow int32"
     i = jnp.arange(K)
     nv = jnp.sum(valid)
     nv_safe = jnp.maximum(nv, 1)

@@ -106,7 +106,8 @@ def _linearize_sharded(tdata, channels, cam, T, scale, delta_scale,
     w = mestimator.compute_weights(opts.loss, r, valid[None, :], sigma)
     H, g, f_sq = linear_system.build(tdata.jacobians, r, w)
     H, g, f_sq = jax.lax.psum((H, g, f_sq), POINT_AXIS)
-    return H, g, jnp.sqrt(f_sq), sigma, new_delta, w
+    return (H, g, jnp.sqrt(f_sq), sigma, new_delta, w,
+            jnp.asarray(0, jnp.int32))
 
 
 def _gn_sharded_body(tdata, channels, cam, T_init, opts: gn.GNOptions):
@@ -128,7 +129,8 @@ def make_sharded_gn(mesh: Mesh, opts: gn.GNOptions):
         T=P(), dp=P(), f_norm=P(), f_norm_prev=P(), dp_norm_prev=P(),
         g=P(), g_tol=P(), scale=P(), delta_scale=P(),
         weights=P(None, POINT_AXIS), H=P(),
-        num_iters=P(), status=P(), converged=P(), solver_ok=P())
+        num_iters=P(), status=P(), converged=P(), solver_ok=P(),
+        band_overflow=P())
 
     fn = jax.shard_map(
         partial(_gn_sharded_body, opts=opts),

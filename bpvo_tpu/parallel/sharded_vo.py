@@ -130,10 +130,10 @@ def make_sharded_vo(mesh: Mesh, K, baseline: float, image_size,
         templates=tuple(template_spec() for _ in range(p.numPyramidLevels)),
         prev_channels=tuple(P() for _ in range(p.numPyramidLevels)),
         prev_disparity=P(), has_prev=P(), T_kf=P(), pose_world=P(),
-        T_delta=P())
+        T_delta=P(), last_weights=P(None, POINT_AXIS))
     out_spec = VOStepOutput(pose=P(), pose_world=P(), is_keyframe=P(),
                             reason=P(), iters=P(), f_norm=P(), frac_good=P(),
-                            H=P())
+                            H=P(), band_overflow=P())
 
     def init_body(image, disparity):
         channels = device_vo._compute_channels_pyr(
@@ -145,7 +145,8 @@ def make_sharded_vo(mesh: Mesh, K, baseline: float, image_size,
             prev_disparity=disparity, has_prev=jnp.asarray(False),
             T_kf=jnp.eye(4, dtype=jnp.float32),
             pose_world=jnp.eye(4, dtype=jnp.float32),
-            T_delta=jnp.eye(4, dtype=jnp.float32))
+            T_delta=jnp.eye(4, dtype=jnp.float32),
+            last_weights=jnp.ones_like(templates[p.maxTestLevel].pixels))
 
     def scan_body(state, images, disparities):
         return jax.lax.scan(lambda s, xs: step(s, xs[0], xs[1]), state,

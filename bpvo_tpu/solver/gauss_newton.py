@@ -126,6 +126,11 @@ class GNState(NamedTuple):
     status: jnp.ndarray       # int32
     converged: jnp.ndarray    # bool
     solver_ok: jnp.ndarray    # bool
+    # telemetry: points the fused Pallas kernel invalidated because their
+    # warped row left the per-block band (gn_kernel.py) at the LAST
+    # linearization — 0 on the jnp path.  Nonzero means the band assumption
+    # is being stressed (fast rotation); see VOResult.band_overflow.
+    band_overflow: jnp.ndarray  # int32
 
 
 def _linearize(tdata, channels, cam, T, scale, delta_scale, opts: GNOptions,
@@ -146,7 +151,8 @@ def _linearize(tdata, channels, cam, T, scale, delta_scale, opts: GNOptions,
     new_delta = jnp.where(do_est, jnp.abs(new_sigma - scale), delta_scale)
     w = mestimator.compute_weights(opts.loss, r, valid[None, :], sigma)
     H, g, f_sq = linear_system.build(tdata.jacobians, r, w)
-    return H, g, jnp.sqrt(f_sq), sigma, new_delta, w
+    return (H, g, jnp.sqrt(f_sq), sigma, new_delta, w,
+            jnp.asarray(0, jnp.int32))
 
 
 def _test_convergence(dp_norm, dp_norm_prev, g_norm, f_norm, f_norm_prev,
@@ -217,17 +223,26 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
         C_, rows_, cols_ = channels.shape
         K_ = tdata.pixels.shape[1]
         interpret_ = jax.default_backend() == "cpu"
-        runner = gn_kernel.make_fused_linearize(
-            rows_, cols_, C_, K_, opts.loss, opts.interp,
-            interpret=interpret_)
+        # C > 1 uses the channel-stacked kernel (one MXU column-mix per point
+        # block amortized over all channels, gn_kernel._stacked_kernel) —
+        # round 3's (C, NB)-grid kernel rebuilt the column-mix per channel and
+        # lost to the XLA gather path at C=8 (1.01 vs 0.95 ms).
+        stacked = C_ > 1
+        maker = (gn_kernel.make_fused_linearize_stacked if stacked
+                 else gn_kernel.make_fused_linearize)
+        runner = maker(rows_, cols_, C_, K_, opts.loss, opts.interp,
+                       interpret=interpret_)
         # sigma is estimated from channel-0 residuals only (same policy as
         # the jnp path / reference linear_system_builder.cc:302-315), so the
         # estimation pass runs a 1-channel kernel instance: (1+C)/C kernel
         # cost instead of 2x while scale is still converging
-        runner0 = (runner if C_ == 1 else gn_kernel.make_fused_linearize(
+        runner0 = (runner if C_ == 1 else maker(
             rows_, cols_, 1, K_, opts.loss, opts.interp,
             interpret=interpret_))
-        jp = gn_kernel.pack_template(tdata.pixels, tdata.jacobians)
+        packer = (gn_kernel.pack_template_stacked if stacked
+                  else gn_kernel.pack_template)
+        jp = packer(tdata.pixels, tdata.jacobians)
+        jp0 = jp if C_ == 1 else (jp[:, :1] if stacked else jp[:1])
         ch_pad = gn_kernel.pad_channels(channels, rows_, cols_)
 
         if C_ == 1:
@@ -238,21 +253,25 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
             # (~0.2 ms) instead of a second 0.36 ms kernel pass — measured
             # end-to-end, the two-pass variant LOST to the plain gather path
             # (271 vs 318 Hz) precisely because est runs most iterations.
-            # Out-of-band kernel-invalidated points have r0 == 0 and
-            # contribute weight-1 zero-residual rows to the rebuilt H; the
-            # block-balanced selection keeps that set empty (gn_kernel.py).
+            # The rebuild honors the kernel's band invalidation: ok_k drops
+            # the out-of-band points from sigma estimation AND from the
+            # rebuilt H (ADVICE round 3), so band overflow degrades to
+            # "fewer measurements", never to corrupted rows.
             def linearize_fn(T, scale, dscale):
                 u, v, Z = warp_mod.project(cam, T, tdata.points)
                 ok = tdata.valid & (Z > 1e-6) & interp_mod.valid_mask(
                     u, v, rows_, cols_, opts.interp)
                 do_est = dscale > opts.scale_tolerance
-                H0, g0, f0_sq, r0, w0 = runner(u, v, ok, ch_pad, jp, scale)
+                H0, g0, f0_sq, r0, w0, band_ok = runner(
+                    u, v, ok, ch_pad, jp, scale)
+                n_oob = jnp.sum(ok & ~band_ok).astype(jnp.int32)
+                ok_k = ok & band_ok
 
                 def est(_):
                     sigma = mestimator.estimate_scale(
-                        r0, ok, opts.use_histogram_median)
+                        r0, ok_k, opts.use_histogram_median)
                     w = mestimator.compute_weights(
-                        opts.loss, r0[None, :], ok[None, :], sigma)
+                        opts.loss, r0[None, :], ok_k[None, :], sigma)
                     Hn, gn_, fn_sq = linear_system.build(
                         tdata.jacobians, r0[None, :], w)
                     return Hn, gn_, jnp.sqrt(fn_sq), sigma, w
@@ -262,7 +281,7 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
 
                 H, g, f, sigma, w = jax.lax.cond(do_est, est, keep, None)
                 new_delta = jnp.where(do_est, jnp.abs(sigma - scale), dscale)
-                return H, g, f, sigma, new_delta, w
+                return H, g, f, sigma, new_delta, w, n_oob
         else:
             def linearize_fn(T, scale, dscale):
                 u, v, Z = warp_mod.project(cam, T, tdata.points)
@@ -271,15 +290,17 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
                 do_est = dscale > opts.scale_tolerance
 
                 def est(_):
-                    _H, _g, _f, r0, _w = runner0(u, v, ok, ch_pad[:1],
-                                                 jp[:1], scale)
+                    _H, _g, _f, r0, _w, bok = runner0(u, v, ok, ch_pad[:1],
+                                                      jp0, scale)
                     return mestimator.estimate_scale(
-                        r0, ok, opts.use_histogram_median)
+                        r0, ok & bok, opts.use_histogram_median)
 
                 sigma = jax.lax.cond(do_est, est, lambda _: scale, None)
                 new_delta = jnp.where(do_est, jnp.abs(sigma - scale), dscale)
-                H, g, f_sq, _r0, w = runner(u, v, ok, ch_pad, jp, sigma)
-                return H, g, jnp.sqrt(f_sq), sigma, new_delta, w
+                H, g, f_sq, _r0, w, band_ok = runner(u, v, ok, ch_pad, jp,
+                                                     sigma)
+                n_oob = jnp.sum(ok & ~band_ok).astype(jnp.int32)
+                return H, g, jnp.sqrt(f_sq), sigma, new_delta, w, n_oob
     elif linearize_fn is None:
         # channels are constant across iterations: pre-shift them once so each
         # iteration's warped sampling is a single gather (interp.pack_taps)
@@ -330,7 +351,7 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
                     J6, r.reshape(-1), vflat, sigma, loss_irls,
                     interpret=(jax.default_backend() == "cpu"))
                 return (H, g, jnp.sqrt(f_sq), sigma, new_delta,
-                        w.reshape(C_, K_))
+                        w.reshape(C_, K_), jnp.asarray(0, jnp.int32))
         else:
             def linearize_fn(T, scale, dscale):
                 return _linearize(tdata, channels, cam, T, scale, dscale,
@@ -346,7 +367,8 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
         weights=jnp.zeros((C, K), f32), H=jnp.eye(6, dtype=f32),
         num_iters=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
-        converged=jnp.asarray(False), solver_ok=jnp.asarray(True))
+        converged=jnp.asarray(False), solver_ok=jnp.asarray(True),
+        band_overflow=jnp.asarray(0, jnp.int32))
 
     def cond(st: GNState):
         return (~st.converged) & st.solver_ok & (
@@ -354,7 +376,7 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
 
     def body(st: GNState):
         first = st.num_iters == 0
-        H, g, f_new, sigma, dscale, w = linearize_fn(
+        H, g, f_new, sigma, dscale, w, n_oob = linearize_fn(
             st.T, st.scale, st.delta_scale)
         g_norm = jnp.max(jnp.abs(g))
         # first-order-optimality threshold fixed from the first gradient
@@ -390,7 +412,8 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
             scale=sigma, delta_scale=dscale, weights=w, H=H,
             num_iters=st.num_iters + 1,
             status=jnp.where(ok, status, STATUS_SOLVER_ERROR).astype(jnp.int32),
-            converged=conv, solver_ok=ok)
+            converged=conv, solver_ok=ok,
+            band_overflow=jnp.maximum(st.band_overflow, n_oob))
 
     return jax.lax.while_loop(cond, body, init)
 

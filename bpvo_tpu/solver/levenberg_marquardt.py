@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from bpvo_tpu.solver import gauss_newton as gn
-from bpvo_tpu.solver import linear_system
+from bpvo_tpu.solver import linear_system, mestimator
 from bpvo_tpu.vo import template_data as td_mod
 from bpvo_tpu.vo import warp as warp_mod
 
@@ -43,7 +43,7 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
     T0 = jnp.asarray(T_init, f32)
     s, c = tdata.norm_scale, tdata.norm_center
 
-    H, g, f_norm, sigma, dscale, w = gn._linearize(
+    H, g, f_norm, sigma, dscale, w, _oob = gn._linearize(
         tdata, channels, cam, T0, jnp.asarray(1.0, f32),
         jnp.asarray(1e10, f32), opts)
     mu = tau * jnp.max(jnp.diag(H))
@@ -65,8 +65,27 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
         dp = jnp.where(jnp.all(jnp.isfinite(dp)), dp, jnp.zeros_like(dp))
         T_new = st.T @ warp_mod.params_to_pose(-dp, s, c)
 
-        H2, g2, f_new, sigma, dscale, w2 = gn._linearize(
-            tdata, channels, cam, T_new, st.scale, st.delta_scale, opts)
+        # IRLS weights are held FIXED within an accept/reject cycle: the
+        # candidate cost f_new is evaluated at the CURRENT sigma, so rho
+        # compares f^2 values under one weighting.  Round 3's variant
+        # re-estimated sigma inside the candidate linearization, making
+        # accept/reject decisions across different objectives — LM diverged
+        # on BitPlanes (ATE 0.1009 vs GN 0.0128 m, VERDICT round 3 item 10).
+        r_new, valid_new = td_mod.compute_residuals(
+            tdata, channels, cam, T_new, opts.interp, warp=opts.warp)
+        w2 = mestimator.compute_weights(opts.loss, r_new, valid_new[None, :],
+                                        st.scale)
+        H2, g2, f_sq = linear_system.build(tdata.jacobians, r_new, w2)
+        f_new = jnp.sqrt(f_sq)
+        # sigma update for the NEXT cycle, applied only if this step lands
+        do_est = st.delta_scale > opts.scale_tolerance
+        new_sigma = jax.lax.cond(
+            do_est,
+            lambda op: mestimator.estimate_scale(op[0], op[1],
+                                                 opts.use_histogram_median),
+            lambda op: st.scale, (r_new[0], valid_new))
+        new_delta = jnp.where(do_est, jnp.abs(new_sigma - st.scale),
+                              st.delta_scale)
 
         pred = jnp.dot(dp, st.mu * dp + st.g)
         rho = (st.f_norm ** 2 - f_new ** 2) / jnp.maximum(pred, 1e-20)
@@ -91,8 +110,8 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
             g=jnp.where(accept, g2, st.g),
             H=jnp.where(accept, H2, st.H),
             mu=mu_new, nu=nu_new,
-            scale=jnp.where(accept, sigma, st.scale),
-            delta_scale=jnp.where(accept, dscale, st.delta_scale),
+            scale=jnp.where(accept, new_sigma, st.scale),
+            delta_scale=jnp.where(accept, new_delta, st.delta_scale),
             weights=jnp.where(accept, w2, st.weights),
             num_iters=st.num_iters + 1,
             converged=conv,

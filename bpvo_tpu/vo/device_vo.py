@@ -58,6 +58,11 @@ class VOState(NamedTuple):
     pose_world: jnp.ndarray                  # (4,4) camera-to-world trajectory
     T_delta: jnp.ndarray                     # (4,4) last inter-frame motion
                                              # (constant-velocity warm start)
+    last_weights: jnp.ndarray                # (C, K) finest-level IRLS weights
+                                             # of the latest estimate, aligned
+                                             # with templates[maxTestLevel] —
+                                             # feeds minPointWeight PLY
+                                             # filtering (vo.cc:260-281)
 
 
 class VOStepOutput(NamedTuple):
@@ -69,6 +74,9 @@ class VOStepOutput(NamedTuple):
     f_norm: jnp.ndarray       # (L,)
     frac_good: jnp.ndarray    # ()
     H: jnp.ndarray            # (6,6) finest-level Hessian
+    band_overflow: jnp.ndarray  # () int32 max points invalidated by the fused
+                                # kernel's row band across levels (telemetry;
+                                # 0 on the jnp linearize path)
 
 
 def _rigid_inverse(T):
@@ -111,6 +119,7 @@ def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
     T = T_init
     iters = [jnp.asarray(0, jnp.int32)] * n_levels
     fs = [jnp.asarray(0.0, jnp.float32)] * n_levels
+    boverflow = jnp.asarray(0, jnp.int32)
     if solver == "LevenbergMarquardt":
         from bpvo_tpu.solver import levenberg_marquardt as lm
         run_level = lm.run
@@ -131,6 +140,8 @@ def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
         T = st.T
         iters[level] = st.num_iters
         fs[level] = st.f_norm
+        if hasattr(st, "band_overflow"):
+            boverflow = jnp.maximum(boverflow, st.band_overflow)
         finest = st
     td = templates[max_test_level]
     n_good = jnp.sum(finest.weights > good_threshold)
@@ -138,7 +149,32 @@ def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
         n_good = count_reduce(n_good)
     denom = jnp.maximum(td.num_channels * td.num_valid, 1)
     frac = n_good.astype(jnp.float32) / denom.astype(jnp.float32)
-    return T, jnp.stack(iters), jnp.stack(fs), frac, finest.H
+    return (T, jnp.stack(iters), jnp.stack(fs), frac, finest.H,
+            finest.weights, boverflow)
+
+
+def _coarse_cost(templates, channels_pyr, cams, T, opts):
+    """Mean squared residual over valid points at the COARSEST level: the
+    cheap probe for the warm-start acceptance gate (few hundred points, one
+    residual pass, no sigma/weights)."""
+    lvl = len(channels_pyr) - 1
+    r, valid = td_mod.compute_residuals(templates[lvl], channels_pyr[lvl],
+                                        cams[lvl], T, opts.interp,
+                                        warp=opts.warp)
+    n = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
+    return jnp.sum(jnp.where(valid[None, :], r, 0.0) ** 2) / n
+
+
+def _gated_warm_start(templates, channels_pyr, cams, T_warm, T_cold, opts):
+    """Constant-velocity warm start with an acceptance gate: take the warm
+    prediction only when its photometric cost at the coarsest level does not
+    exceed the cold start's.  Guards against the motion model extrapolating a
+    bad estimate into a self-consistent alias lock (round-3 bench pathology,
+    docs/PERFORMANCE.md): a real-motion warm start wins the probe, an aliased
+    one costs more than the cold start and is rejected."""
+    c_warm = _coarse_cost(templates, channels_pyr, cams, T_warm, opts)
+    c_cold = _coarse_cost(templates, channels_pyr, cams, T_cold, opts)
+    return jnp.where(c_warm <= c_cold, T_warm, T_cold)
 
 
 def _keyframe_reason(T_est, frac_good, p: AlgorithmParameters):
@@ -189,10 +225,13 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
 
         # constant-velocity warm start: predict this frame at
         # T_delta_prev @ T_kf (X_cur = T_delta X_prev = T_delta T_kf X_kf);
-        # the GN optimum is unchanged, only the iteration count drops
-        T_init = (state.T_delta @ state.T_kf if p.withMotionModel
-                  else state.T_kf)
-        T_est, iters, fs, frac, H = _estimate(
+        # the GN optimum is unchanged, only the iteration count drops.  The
+        # prediction must pass the coarse-cost acceptance gate.
+        T_init = (_gated_warm_start(state.templates, channels, cams,
+                                    state.T_delta @ state.T_kf, state.T_kf,
+                                    opts_per_level[n_levels - 1])
+                  if p.withMotionModel else state.T_kf)
+        T_est, iters, fs, frac, H, w_fine, boverflow = _estimate(
             state.templates, channels, cams, T_init, opts_per_level,
             p.maxTestLevel, p.goodPointThreshold, p.minNumPixelsToWork,
             p.poseEstimator, linearize_factory, count_reduce)
@@ -207,7 +246,8 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
                 templates=state.templates,
                 prev_channels=channels, prev_disparity=disparity,
                 has_prev=jnp.asarray(True),
-                T_kf=T_est, pose_world=state.pose_world, T_delta=pose)
+                T_kf=T_est, pose_world=state.pose_world, T_delta=pose,
+                last_weights=w_fine)
             return new_state, pose, iters, fs
 
         def keyframe(op):
@@ -227,9 +267,13 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
             # current frame this converges to ~identity in one iteration and
             # its result is unused.  The candidate is the previous frame, so
             # the motion model's prediction for candidate->current is T_delta.
-            T2_init = (state.T_delta if p.withMotionModel
+            T2_init = (_gated_warm_start(templates, channels, cams,
+                                         state.T_delta,
+                                         jnp.eye(4, dtype=jnp.float32),
+                                         opts_per_level[n_levels - 1])
+                       if p.withMotionModel
                        else jnp.eye(4, dtype=jnp.float32))
-            T2, it2, fs2, _frac2, _H2 = _estimate(
+            T2, it2, fs2, _frac2, _H2, w2_fine, _bo2 = _estimate(
                 templates, channels, cams, T2_init,
                 opts_per_level, p.maxTestLevel, p.goodPointThreshold,
                 p.minNumPixelsToWork, p.poseEstimator, linearize_factory,
@@ -243,7 +287,8 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
                 templates=templates,
                 prev_channels=channels, prev_disparity=disparity,
                 has_prev=jnp.asarray(False),
-                T_kf=T_kf_new, pose_world=state.pose_world, T_delta=pose)
+                T_kf=T_kf_new, pose_world=state.pose_world, T_delta=pose,
+                last_weights=w2_fine)
             return new_state, pose, it_out, fs_out
 
         new_state, pose, it_out, fs_out = jax.lax.cond(
@@ -253,7 +298,8 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
         new_state = new_state._replace(pose_world=pose_world)
         out = VOStepOutput(pose=pose, pose_world=pose_world,
                            is_keyframe=is_kf, reason=reason,
-                           iters=it_out, f_norm=fs_out, frac_good=frac, H=H)
+                           iters=it_out, f_norm=fs_out, frac_good=frac, H=H,
+                           band_overflow=boverflow)
         return new_state, out
 
     return step
@@ -302,12 +348,14 @@ class DeviceVO:
         disparity = jnp.asarray(disparity, jnp.float32)
         templates = _build_templates(channels, disparity, self._cams, p,
                                      self._capacities)
+        td0 = templates[p.maxTestLevel]
         return VOState(
             templates=templates, prev_channels=channels,
             prev_disparity=disparity, has_prev=jnp.asarray(False),
             T_kf=jnp.eye(4, dtype=jnp.float32),
             pose_world=jnp.eye(4, dtype=jnp.float32),
-            T_delta=jnp.eye(4, dtype=jnp.float32))
+            T_delta=jnp.eye(4, dtype=jnp.float32),
+            last_weights=jnp.ones_like(td0.pixels))
 
     def _run_chunk(self, state, images, disparities):
         return jax.lax.scan(
@@ -341,8 +389,12 @@ class DeviceVO:
         inten = np.clip(np.asarray(td.pixels)[0][valid], 0, 255).astype(np.uint8)
         colors = np.stack([inten, inten, inten,
                            np.full_like(inten, 255)], axis=1)
+        # real finest-level IRLS weights carried in VOState (vo.cc:260-281
+        # semantics; round 3 returned all-ones, breaking minPointWeight
+        # filtering on the device path — VERDICT item 8)
+        weights = np.asarray(self.state.last_weights)[0][valid]
         return PointCloud(points=pts, colors=colors,
-                          weights=np.ones(len(pts), np.float32))
+                          weights=weights.astype(np.float32))
 
     def add_frames(self, images: np.ndarray, disparities: np.ndarray
                    ) -> VOStepOutput:

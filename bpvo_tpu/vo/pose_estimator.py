@@ -69,6 +69,7 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
     fs = [jnp.asarray(0.0, jnp.float32)] * n_levels
     gs = [jnp.asarray(0.0, jnp.float32)] * n_levels
     status = [jnp.asarray(gn.STATUS_MAX_ITERATIONS, jnp.int32)] * n_levels
+    boverflow = [jnp.asarray(0, jnp.int32)] * n_levels
 
     if solver == "LevenbergMarquardt":
         from bpvo_tpu.solver import levenberg_marquardt as lm
@@ -88,13 +89,16 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
         fs[level] = st.f_norm
         gs[level] = jnp.max(jnp.abs(st.g))
         status[level] = st.status
+        if hasattr(st, "band_overflow"):   # GNState only (LM has no kernel path)
+            boverflow[level] = st.band_overflow
         finest = st
 
     td = templates[max_test_level]
     frac = gn.fraction_of_good_points(
         finest.weights, td.num_channels, td.num_valid, good_threshold)
     return (T, jnp.stack(iters), jnp.stack(fs), jnp.stack(gs),
-            jnp.stack(status), frac, finest.H, finest.weights)
+            jnp.stack(status), frac, finest.H, finest.weights,
+            jnp.stack(boverflow))
 
 
 class PoseEstimator:
@@ -120,7 +124,7 @@ class PoseEstimator:
         """
         p = self._p
         n_levels = len(channels_pyr)
-        (T, iters, fs, gs, status, frac, H, w) = _estimate_all(
+        (T, iters, fs, gs, status, frac, H, w, boverflow) = _estimate_all(
             tuple(templates), tuple(channels_pyr), tuple(cams),
             jnp.asarray(T_init, jnp.float32), self._opts_for(n_levels),
             p.maxTestLevel, p.goodPointThreshold, _MIN_POINTS_PER_LEVEL,
@@ -128,6 +132,7 @@ class PoseEstimator:
 
         self._last_weights = w
         self._last_H = H
+        self._last_band_overflow = boverflow
         # one host sync materializes everything below
         T_np = np.asarray(T)
         self._last_frac = float(frac)
@@ -151,6 +156,14 @@ class PoseEstimator:
 
     def last_weights(self):
         return self._last_weights
+
+    def last_band_overflow(self) -> int:
+        """Max per-level count of points the fused Pallas kernel invalidated
+        for falling outside its row band during the last estimate (telemetry
+        for the band assumption, gn_kernel.py; 0 on the jnp path)."""
+        if getattr(self, "_last_band_overflow", None) is None:
+            return 0
+        return int(np.max(np.asarray(self._last_band_overflow)))
 
     def last_covariance(self) -> np.ndarray:
         """6x6 covariance = inverse of the final GN Hessian

@@ -51,6 +51,42 @@ DCN_GBPS = 25.0       # GB/s per host (200 Gbps NIC)
 DCN_LAT_US = 25.0     # per-collective launch latency across hosts
 
 
+def split_stats_by_axis(compiled_text: str):
+    """Split collective stats by mesh axis from the compiled HLO's
+    replica_groups: lane-CONTIGUOUS groups = the points axis (within one
+    host, rides ICI); STRIDED groups = the kf axis (across hosts, rides DCN).
+    Collectives without parsable groups are charged to DCN (conservative).
+    Round 3 charged DCN latency/bandwidth to every collective including the
+    within-host ones (ADVICE r3)."""
+    import re as _re
+    dtype_bytes = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "s32": 4,
+                   "u32": 4, "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8}
+    pat = _re.compile(
+        r"(\w+)\[([\d,]*)\][^=]*\s"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+        r"all-to-all)\([^\n]*")
+    ici, dcn = {}, {}
+    for m in pat.finditer(compiled_text):
+        dt, dims, op, line = m.group(1), m.group(2), m.group(3), m.group(0)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        b = n * dtype_bytes.get(dt, 4)
+        gm = _re.search(r"replica_groups=\{\{([^}]*)\}", line)
+        target = dcn
+        if gm:
+            ids = [int(x) for x in gm.group(1).split(",") if x.strip()]
+            if len(ids) >= 2 and all(y - x == 1 for x, y in zip(ids, ids[1:])):
+                target = ici
+        ent = target.setdefault(op, [0, 0])
+        ent[0] += 1
+        ent[1] += b
+    pack = lambda st: {op: {"count": c, "bytes": bb}
+                       for op, (c, bb) in st.items()}
+    return pack(ici), pack(dcn)
+
+
 def coll_time_us(stats: dict, gbps: float, lat_us: float) -> float:
     """Serial-collective upper bound: every collective pays launch latency +
     payload/bandwidth (ring allreduce moves ~2x payload; folded into 2/bw)."""
@@ -100,9 +136,10 @@ def ba_step_stats(m_keyframes: int = 8, capacity: int = 8192):
     runner = ba.make_sharded_ba_2d(mesh, opts, m_keyframes)
     txt = runner.lower(templates, ch, cam, poses).compile().as_text()
     stats = _collective_stats(txt)
+    ici, dcn = split_stats_by_axis(txt)
     # per-iteration share (scan of max_iterations; HLO reports the loop body
     # once, so stats already are per-iteration — note it in the doc)
-    return stats, opts.max_iterations
+    return stats, ici, dcn, opts.max_iterations
 
 
 def efficiency_rows(step_ms: float, stats: dict, gbps, lat_us, ns):
@@ -125,7 +162,9 @@ def main():
     args = ap.parse_args()
 
     vo_stats = vo_step_stats()
-    ba_stats, ba_iters = ba_step_stats()
+    ba_stats, ba_ici, ba_dcn, ba_iters = ba_step_stats()
+    print("BA collectives by axis: ICI(points)=", ba_ici,
+          " DCN(kf)=", ba_dcn)
     print("VO step collectives:", vo_stats)
     print("BA iteration collectives:", ba_stats)
 
@@ -137,8 +176,10 @@ def main():
     ba_compute_ms = 8 * args.lin_ms
     ba_rows = []
     for hosts, chips in ((2, 8), (2, 4), (4, 8)):
-        n = hosts * chips // 1  # total shards = hosts (kf) x chips (points)
-        over_us = coll_time_us(ba_stats, DCN_GBPS, DCN_LAT_US)
+        # kf-axis collectives cross hosts (DCN), points-axis ones stay
+        # within a host (ICI) — split by replica_groups of the compiled HLO
+        over_us = (coll_time_us(ba_dcn, DCN_GBPS, DCN_LAT_US)
+                   + coll_time_us(ba_ici, ICI_GBPS, ICI_LAT_US))
         t_n = ba_compute_ms / (hosts * chips) + over_us / 1e3
         eff = ba_compute_ms / (hosts * chips * t_n)
         ba_rows.append((hosts, chips, over_us, t_n, eff))

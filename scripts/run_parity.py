@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bpvo_tpu.config import AlgorithmParameters, ConfigFile
 from bpvo_tpu.data.dataset import DisparityDataset, FileSequence
 from bpvo_tpu.data.synthetic import (SyntheticCorridorDataset,
+                                     SyntheticIlluminationDataset,
                                      SyntheticOccluderDataset,
                                      SyntheticPlaneDataset, write_sequence)
 from bpvo_tpu.data.tunnel import load_calibration_file
@@ -73,6 +74,18 @@ sigmaPriorToCensusTransform = 0.75
 sigmaBitPlanes = 0.5
 """
 
+# Per-sequence config additions (applied to BOTH frameworks — reference key
+# names parse unchanged on both sides).  plane_illum throttles keyframing so
+# templates PERSIST across the lighting change: with the default thresholds a
+# new keyframe every ~4 frames lets raw intensity re-anchor to the new
+# illumination and hides the descriptor difference (measured round 4; see
+# SyntheticIlluminationDataset).  The Bit-Planes regime is long-lived
+# templates under changing light (arXiv:1602.00307).
+SEQ_CONFIG_EXTRA = {
+    "plane_illum": ("minTranslationMagToKeyFrame = 0.4\n"
+                    "maxFractionOfGoodPointsToKeyFrame = 0.0\n"),
+}
+
 
 def make_sequences(out_dir: str, n_frames: int):
     seqs = {}
@@ -90,6 +103,13 @@ def make_sequences(out_dir: str, n_frames: int):
         # rigid-scene violation the M-estimator must reject)
         ("occluder", SyntheticOccluderDataset(rows=240, cols=320,
                                               n_frames=n_frames)),
+        # time-varying global gain/bias + moving local shadow over the
+        # noise-textured plane: THE Bit-Planes capability demonstration
+        # (illumination-robust census vs raw-intensity brightness constancy,
+        # reference README.md:8-14, census.cc:59-91)
+        ("plane_illum", SyntheticIlluminationDataset(rows=240, cols=320,
+                                                     n_frames=n_frames,
+                                                     z0=6.0)),
     ):
         seq_dir = os.path.join(out_dir, name)
         if not os.path.exists(os.path.join(seq_dir, "gt_kitti.txt")):
@@ -178,9 +198,12 @@ def main():
     for seq_name, seq_dir in seqs.items():
         gt_file = os.path.join(seq_dir, "gt_kitti.txt")
         for desc in args.descriptors:
-            config = os.path.join(args.out, f"parity_{desc.lower()}.cfg")
+            extra = SEQ_CONFIG_EXTRA.get(seq_name, "")
+            config = os.path.join(
+                args.out, f"parity_{desc.lower()}"
+                + ("_" + seq_name if extra else "") + ".cfg")
             with open(config, "w") as f:
-                f.write(BASE_CONFIG.format(descriptor=desc))
+                f.write(BASE_CONFIG.format(descriptor=desc) + extra)
             tag = f"{seq_name}/{desc}"
             ref_prefix = os.path.join(seq_dir, f"ref_{desc.lower()}")
             our_prefix = os.path.join(seq_dir, f"tpu_{desc.lower()}")
@@ -305,6 +328,17 @@ def write_markdown(rows, md_path, n_frames):
             "(ATE within ~1% Intensity / ~8% BitPlanes, matching keyframe "
             "counts) — the M-estimator pipelines behave the same under "
             "gross outliers.",
+            "",
+            "**plane_illum x Intensity (vs x BitPlanes)** — the "
+            "illumination-robustness demonstration (reference README.md:8-14; "
+            "arXiv:1602.00307).  Identical geometry/motion to `plane_noise`, "
+            "plus time-varying global gain (±35%), bias (±20 gray levels) "
+            "and a moving soft shadow.  Raw intensity's brightness-constancy "
+            "assumption is violated and BOTH frameworks' Intensity cells "
+            "degrade by an order of magnitude; the census-based BitPlanes "
+            "descriptor cancels locally-smooth photometric changes inside "
+            "every 3x3 comparison and keeps tracking (its ATE stays at the "
+            "plane_noise level) in BOTH frameworks.",
             "",
         ]
     if any(r.get("ablation") for r in rows):

@@ -188,8 +188,8 @@ def probe_fused_iteration():
         def body_jnp(c, td=td, channels=channels, cam=cam, packed=packed,
                      opts=opts):
             T = T0.at[0, 3].add(c * 1e-6)
-            H_, g, f, s, d, w = gn._linearize(td, channels, cam, T, sigma,
-                                              dscale, opts, packed=packed)
+            H_, g, f, s, d, w, _oob = gn._linearize(
+                td, channels, cam, T, sigma, dscale, opts, packed=packed)
             return c + f * 1e-9
 
         record(f"linearize_jnp_L0_{name}", loop_time(body_jnp))
@@ -198,15 +198,27 @@ def probe_fused_iteration():
             from bpvo_tpu.ops.pallas import gn_kernel
 
             jp = gn_kernel.pack_template(td.pixels, td.jacobians)
+            jps = gn_kernel.pack_template_stacked(td.pixels, td.jacobians)
 
             def body_fused(c, td=td, channels=channels, cam=cam, opts=opts,
                            jp=jp):
                 T = T0.at[0, 3].add(c * 1e-6)
                 H_, g, f_sq, r0, w, ok = gn_kernel.fused_linearize(
-                    td, channels, cam, T, sigma, loss=opts.loss, jp=jp)
+                    td, channels, cam, T, sigma, loss=opts.loss, jp=jp,
+                    stacked=False)
                 return c + f_sq * 1e-9
 
             record(f"linearize_fused_L0_{name}", loop_time(body_fused))
+
+            def body_stacked(c, td=td, channels=channels, cam=cam, opts=opts,
+                             jps=jps):
+                T = T0.at[0, 3].add(c * 1e-6)
+                H_, g, f_sq, r0, w, ok = gn_kernel.fused_linearize(
+                    td, channels, cam, T, sigma, loss=opts.loss, jp=jps,
+                    stacked=True)
+                return c + f_sq * 1e-9
+
+            record(f"linearize_stacked_L0_{name}", loop_time(body_stacked))
 
             # compiled-on-device numeric parity vs the jnp path at the same
             # pose/sigma (the interpret-mode tests cover CPU; this covers the
@@ -214,21 +226,24 @@ def probe_fused_iteration():
             T = T0
             # delta_scale=0 -> both paths use the SAME given sigma (no
             # in-call re-estimation), so outputs are directly comparable
-            Hj, gj, fj, _s, _d, wj = jax.jit(
+            Hj, gj, fj, _s, _d, wj, _o = jax.jit(
                 lambda td_, ch_, cam_, T_, s_: gn._linearize(
                     td_, ch_, cam_, T_, s_, jnp.asarray(0.0, jnp.float32),
                     opts, packed=packed))(td, channels, cam, T, sigma)
-            Hf, gf, ff_sq, _r0, wf, _ok = jax.jit(
-                partial(gn_kernel.fused_linearize, loss=opts.loss))(
-                    td, channels, cam, T, sigma, jp=jp)
-            dH = float(jnp.max(jnp.abs(Hf - Hj)) / jnp.max(jnp.abs(Hj)))
-            dg = float(jnp.max(jnp.abs(gf - gj)) /
-                       jnp.maximum(jnp.max(jnp.abs(gj)), 1e-20))
-            df = abs(float(jnp.sqrt(ff_sq) - fj)) / max(abs(float(fj)), 1e-20)
-            RESULTS[f"fused_vs_jnp_reldiff_{name}"] = {
-                "H": round(dH, 7), "g": round(dg, 7), "f": round(df, 7)}
-            print(f"fused-vs-jnp rel diff ({name}): H {dH:.2e} g {dg:.2e} "
-                  f"f {df:.2e}")
+            for label, stk, jpv in (("fused", False, jp),
+                                    ("stacked", True, jps)):
+                Hf, gf, ff_sq, _r0, wf, _ok = jax.jit(
+                    partial(gn_kernel.fused_linearize, loss=opts.loss,
+                            stacked=stk))(td, channels, cam, T, sigma, jp=jpv)
+                dH = float(jnp.max(jnp.abs(Hf - Hj)) / jnp.max(jnp.abs(Hj)))
+                dg = float(jnp.max(jnp.abs(gf - gj)) /
+                           jnp.maximum(jnp.max(jnp.abs(gj)), 1e-20))
+                df = (abs(float(jnp.sqrt(ff_sq) - fj))
+                      / max(abs(float(fj)), 1e-20))
+                RESULTS[f"{label}_vs_jnp_reldiff_{name}"] = {
+                    "H": round(dH, 7), "g": round(dg, 7), "f": round(df, 7)}
+                print(f"{label}-vs-jnp rel diff ({name}): H {dH:.2e} "
+                      f"g {dg:.2e} f {df:.2e}")
         except Exception as e:  # kernel may not exist/compile yet
             print(f"fused kernel ({name}): {type(e).__name__}: {e}")
         del vo

@@ -109,3 +109,43 @@ def test_point_cloud_extraction():
     pc = vo.point_cloud()
     assert pc is not None and len(pc) > 200
     assert np.all(pc.points[:, 2] > 0)
+
+
+def test_point_cloud_weights_are_irls_weights():
+    """Device-path cloud weights must be the finest-level IRLS weights (the
+    host path's vo.cc:260-281 semantics), not all-ones (VERDICT r3 item 8)."""
+    frames = make_sequence([0, 0, 0, 0.004, 0, 0.008], 4)
+    cam = make_cam()
+    vo = DeviceVO(np.asarray(cam.K()), float(cam.baseline), (H_IMG, W_IMG),
+                  make_params())
+    for I, D in frames:
+        vo.add_frame(I, D)
+    pc = vo.point_cloud()
+    w = pc.weights
+    td = vo.state.templates[vo._p.maxTestLevel]
+    want = np.asarray(vo.state.last_weights)[0][np.asarray(td.valid)]
+    np.testing.assert_allclose(w, want)
+    # real Tukey weights: inside [0, 1], and not the all-ones placeholder
+    assert np.all((w >= 0) & (w <= 1.0 + 1e-6))
+    assert np.std(w) > 0
+
+
+def test_motion_model_gate_matches_cold_start_accuracy():
+    """withMotionModel=True (gated warm start) must match the cold start's
+    pose estimates on a smooth sequence while never doing worse per frame."""
+    step = [0, 0, 0, 0.004, 0, 0.008]
+    frames = make_sequence(step, 6)
+    cam = make_cam()
+    from bpvo_tpu.core import se3 as se3_mod
+    T_step = np.asarray(se3_mod.exp(jnp.asarray(step, jnp.float32)))
+
+    for with_mm in (False, True):
+        vo = DeviceVO(np.asarray(cam.K()), float(cam.baseline),
+                      (H_IMG, W_IMG), make_params(withMotionModel=with_mm))
+        for I, D in frames:
+            out = vo.add_frame(I, D)
+            if out is None:
+                continue
+            err = np.asarray(se3_mod.log(jnp.asarray(
+                np.asarray(out.pose) @ np.linalg.inv(T_step), jnp.float32)))
+            assert np.abs(err).max() < 5e-3, (with_mm, err)

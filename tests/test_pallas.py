@@ -226,3 +226,111 @@ class TestFusedGnKernel:
             assert np.abs(err).max() < 5e-3, err
         np.testing.assert_allclose(np.asarray(st_fused.T),
                                    np.asarray(st_jnp.T), atol=1e-4)
+
+
+class TestStackedGnKernel:
+    """Channel-stacked fused kernel (gn_kernel._stacked_kernel): one grid step
+    per point block, all channels through a single column-mix matmul, bands
+    DMA'd from HBM in-kernel.  Production default for C > 1."""
+
+    @pytest.mark.parametrize("desc", ["Intensity", "BitPlanes"])
+    def test_matches_jnp_linearize(self, desc):
+        from bpvo_tpu.ops.pallas import gn_kernel
+        from bpvo_tpu.solver import linear_system, mestimator
+        from bpvo_tpu.types import InterpolationType, LossFunctionType
+        from bpvo_tpu.vo import template_data as td_mod
+
+        td, ch1, cam = TestFusedGnKernel._problem(TestFusedGnKernel(), desc)
+        T = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.004)
+        sigma = jnp.asarray(1.7, jnp.float32)
+
+        H, g, f_sq, r0, w, ok = gn_kernel.fused_linearize(
+            td, ch1, cam, T, sigma, loss=LossFunctionType.TUKEY,
+            interpret=INTERPRET, stacked=True)
+
+        r_ref, ok_ref = td_mod.compute_residuals(
+            td, ch1, cam, T, InterpolationType.LINEAR)
+        w_ref = mestimator.compute_weights(
+            LossFunctionType.TUKEY, r_ref, ok_ref[None, :], sigma)
+        H2, g2, f2 = linear_system.build(td.jacobians, r_ref, w_ref)
+
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r_ref[0]),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(H), np.asarray(H2),
+                                   rtol=2e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
+                                   rtol=2e-4, atol=5e-2)
+        np.testing.assert_allclose(float(f_sq), float(f2), rtol=1e-3)
+
+    def test_full_gn_multichannel_fused_matches_jnp(self, monkeypatch):
+        """C>1 GN with linearize='fused' (the stacked kernel path) recovers
+        the same pose as the jnp backend."""
+        import dataclasses
+        from test_gn import build_template, render_pair
+        from bpvo_tpu.core import se3
+        from bpvo_tpu.solver import gauss_newton as gn
+
+        twist = [0.001, -0.002, 0.001, 0.01, -0.005, 0.015]
+        I0, I1, D, cam, T_true = render_pair(twist)
+        td, p = build_template(I0, D, cam, capacity=2048)
+        ch3 = jnp.stack([jnp.asarray(I1), jnp.asarray(I1) * 0.5,
+                         jnp.asarray(I1) * 2.0])
+        td3 = td._replace(
+            pixels=jnp.concatenate([td.pixels, td.pixels * 0.5,
+                                    td.pixels * 2.0]),
+            jacobians=jnp.concatenate([td.jacobians, td.jacobians * 0.5,
+                                       td.jacobians * 2.0]))
+        base = gn.GNOptions(function_tolerance=1e-4, parameter_tolerance=1e-6)
+
+        monkeypatch.setenv("BPVO_IRLS_KERNEL", "0")
+        st_jnp = gn.run(td3, ch3, cam, jnp.eye(4), base)
+        st_fused = gn.run(td3, ch3, cam, jnp.eye(4),
+                          dataclasses.replace(base, linearize="fused"))
+        for st in (st_jnp, st_fused):
+            err = np.asarray(se3.log(jnp.asarray(
+                np.asarray(st.T) @ np.linalg.inv(T_true), jnp.float32)))
+            assert np.abs(err).max() < 5e-3, err
+        np.testing.assert_allclose(np.asarray(st_fused.T),
+                                   np.asarray(st_jnp.T), atol=1e-4)
+        assert int(st_fused.band_overflow) == 0
+
+    def test_band_overflow_telemetry_and_no_cliff(self):
+        """A rotation fast enough to push warped rows past the per-block band
+        must (a) be COUNTED in GNState.band_overflow and (b) degrade to
+        'fewer measurements', not to a wrong pose (VERDICT round 3 item 7)."""
+        import dataclasses
+        from test_gn import build_template, render_pair
+        from bpvo_tpu.core import se3
+        from bpvo_tpu.ops.pallas import gn_kernel
+        from bpvo_tpu.solver import gauss_newton as gn
+        from bpvo_tpu.types import LossFunctionType
+
+        # strong in-plane rotation: edge rows move by ~±25 px at 120x160
+        twist = [0.0, 0.0, 0.21, 0.0, 0.0, 0.0]
+        I0, I1, D, cam, T_true = render_pair(twist)
+        td, p = build_template(I0, D, cam, capacity=2048)
+
+        # overflow is visible at the kernel level when sampling at T_true
+        # (the converged pose): blocks' bands were centred at identity spans
+        Tt = jnp.asarray(T_true, jnp.float32)
+        _H, _g, _f, _r0, _w, ok_k = gn_kernel.fused_linearize(
+            td, jnp.asarray(I1)[None], cam, Tt, jnp.asarray(2.0, jnp.float32),
+            loss=LossFunctionType.TUKEY, interpret=INTERPRET, stacked=False)
+        from bpvo_tpu.ops import interp as interp_mod
+        from bpvo_tpu.vo import warp as warp_mod
+        u, v, Z = warp_mod.project(cam, Tt, td.points)
+        ok_xla = td.valid & (Z > 1e-6) & interp_mod.valid_mask(
+            u, v, I1.shape[0], I1.shape[1], gn.InterpolationType.LINEAR)
+        n_oob = int(jnp.sum(ok_xla & ~ok_k))
+
+        base = gn.GNOptions(function_tolerance=1e-4, parameter_tolerance=1e-6)
+        st_fused = gn.run(td, jnp.asarray(I1)[None], cam, jnp.eye(4),
+                          dataclasses.replace(base, linearize="fused"))
+        err = np.asarray(se3.log(jnp.asarray(
+            np.asarray(st_fused.T) @ np.linalg.inv(T_true), jnp.float32)))
+        assert np.abs(err).max() < 5e-3, err     # no accuracy cliff
+        if n_oob > 0:                            # telemetry caught it
+            assert int(st_fused.band_overflow) > 0
