@@ -187,16 +187,20 @@ class AlgorithmParameters:
     numShards: int = 1
     # Constant-velocity motion model: warm-start each frame's GN at
     # T_delta_prev @ T_kf instead of T_kf, and the post-keyframe re-estimate
-    # at T_delta_prev instead of Identity.  Fewer iterations when motion is
-    # smooth.  The prediction passes an acceptance gate (device_vo.
-    # _gated_warm_start): its coarse-level photometric cost must not exceed
-    # the zero-velocity start's, otherwise the cold start is used — this
-    # blocks the round-3 failure where extrapolating a bad estimate locked
-    # the solver into a false minimum on self-similar texture
-    # (docs/PERFORMANCE.md).  Setting False gives the reference's ungated
-    # zero-velocity warm start (vo.cc:144-146) + Identity re-estimate init
-    # (vo.cc:183-185).
-    withMotionModel: bool = True
+    # at T_delta_prev instead of Identity, both behind an acceptance gate
+    # (device_vo._gated_warm_start: the prediction's coarse-level photometric
+    # cost must not exceed the zero-velocity start's).  The gate blocks the
+    # round-3 catastrophic alias lock-in, and the round-4 device A/B
+    # (KITTI-shape value-noise scene) measured: intensity exact either way
+    # (err 2e-5) with ~equal iterations; BitPlanes 23.5 vs 28.4 iters/frame
+    # but per-frame pose error 0.0094 vs 0.0023 — a warm start near a census
+    # local basin lets the coarse levels EXIT EARLY inside it, where a cold
+    # start's coarse iterations escape to the true basin; an initial-cost
+    # gate cannot see basin quality.  Default therefore stays False (the
+    # reference's zero-velocity warm start, vo.cc:144-146); enable for
+    # smooth-motion intensity deployments where the iteration savings are
+    # free.
+    withMotionModel: bool = False
     # Keyframe rotation test units.  True (default) = Euler magnitude in
     # DEGREES per the reference's documented contract (types.h:313-320
     # "Units: degrees").  False reproduces the reference IMPLEMENTATION,

@@ -198,11 +198,17 @@ def _sgm(L, R, num_disparities: int, p1: float, p2: float,
     cL = census_planes(L.astype(jnp.float32))  # (8, H, W) in {0, 1}
     cR = census_planes(R.astype(jnp.float32))
 
+    # cost per disparity, SEQUENTIALLY via lax.map: the unrolled
+    # stack-of-128 variant materializes ~2 GB of (8, H, W) roll
+    # intermediates at KITTI scale and OOMs HBM at full frame width
+    # (probed round 4); the map keeps peak memory at ~2 census stacks
+    col = jnp.arange(W)[None, :]
+
     def cost_at(d):
         ham = jnp.sum(jnp.abs(cL - jnp.roll(cR, d, axis=-1)), axis=0)
-        return ham.at[:, :d].set(8.0) if d > 0 else ham
+        return jnp.where(col < d, 8.0, ham)
 
-    cost = jnp.stack([cost_at(d) for d in range(D)], axis=-1)  # (H, W, D)
+    cost = jnp.moveaxis(jax.lax.map(cost_at, jnp.arange(D)), 0, -1)  # (H,W,D)
 
     if use_pallas:
         from bpvo_tpu.ops.pallas import sgm_kernel

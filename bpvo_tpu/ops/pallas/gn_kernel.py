@@ -64,7 +64,8 @@ def _weight(u, loss: str):
 
 def _kernel(sigma_ref, bases_ref, u_ref, v_ref, valid_ref, img_ref, jp_ref,
             out_ref, r0_ref, w_ref, acc_ref, *,
-            H: int, W: int, band: int, loss: str, cosine: bool):
+            H: int, W: int, band: int, loss: str, cosine: bool,
+            mxu_bf16: bool = False):
     """Grid (C, NB) — point blocks INNERMOST so the (1, Hp, Wp) channel
     block's index map is constant across consecutive grid steps and Mosaic's
     pipeline skips its DMA (channel loaded once per c, not once per (c, b):
@@ -118,9 +119,16 @@ def _kernel(sigma_ref, bases_ref, u_ref, v_ref, valid_ref, img_ref, jp_ref,
     cid = jax.lax.broadcasted_iota(jnp.int32, (Wp, BLOCK), 0)
     onehot = (jnp.where(cid == xi[None, :], 1.0 - xm[None, :], 0.0)
               + jnp.where(cid == xi[None, :] + 1, xm[None, :], 0.0))
-    colmix = jax.lax.dot_general(
-        bandm, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (band, BLOCK)
+    if mxu_bf16:
+        colmix = jax.lax.dot_general(
+            bandm.astype(jnp.bfloat16), onehot.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)         # (band, BLOCK)
+    else:
+        colmix = jax.lax.dot_general(
+            bandm, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (band, BLOCK)
 
     # y selection + interpolation on the VPU
     rel = yi - base
@@ -173,7 +181,7 @@ def _kernel(sigma_ref, bases_ref, u_ref, v_ref, valid_ref, img_ref, jp_ref,
 def make_fused_linearize(rows: int, cols: int, C: int, K: int,
                          loss: LossFunctionType,
                          interp: InterpolationType = InterpolationType.LINEAR,
-                         interpret: bool = False):
+                         interpret: bool = False, mxu_bf16: bool = False):
     """Build the fused kernel runner specialized to one pyramid level.
 
     Returns ``run(u, v, valid, channels, jp, sigma) ->
@@ -196,7 +204,8 @@ def make_fused_linearize(rows: int, cols: int, C: int, K: int,
     band = min(Hp, _round_up(Hp // NB + BAND_MARGIN, 8))
 
     kern = partial(_kernel, H=rows, W=cols, band=band, loss=loss_name,
-                   cosine=(interp == InterpolationType.COSINE))
+                   cosine=(interp == InterpolationType.COSINE),
+                   mxu_bf16=mxu_bf16)
 
     grid = (C, NB)
     call = pl.pallas_call(
@@ -354,9 +363,17 @@ def _stacked_kernel(sigma_ref, bases_ref, u_ref, v_ref, valid_ref, img_ref,
         # GN, docs/PERFORMANCE.md).
         flat = flat.astype(jnp.bfloat16)
         onehot = onehot.astype(jnp.bfloat16)
-    colmix = jax.lax.dot_general(
-        flat, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (C*band, BLOCK)
+        # DEFAULT precision: the package-global float32 matmul precision
+        # would ask Mosaic for an fp32-contract bf16 matmul, which it
+        # rejects ("Bad lhs type", probed on device)
+        colmix = jax.lax.dot_general(
+            flat, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)         # (C*band, BLOCK)
+    else:
+        colmix = jax.lax.dot_general(
+            flat, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (C*band, BLOCK)
 
     # y selection + interpolation on the VPU, shared row weights
     rel = yi - base

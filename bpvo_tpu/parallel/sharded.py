@@ -130,7 +130,7 @@ def make_sharded_gn(mesh: Mesh, opts: gn.GNOptions):
         g=P(), g_tol=P(), scale=P(), delta_scale=P(),
         weights=P(None, POINT_AXIS), H=P(),
         num_iters=P(), status=P(), converged=P(), solver_ok=P(),
-        band_overflow=P())
+        band_overflow=P(), T_best=P(), f_best=P())
 
     fn = jax.shard_map(
         partial(_gn_sharded_body, opts=opts),

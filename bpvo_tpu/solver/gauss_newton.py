@@ -61,6 +61,20 @@ class GNOptions:
     loss: LossFunctionType = LossFunctionType.TUKEY
     interp: InterpolationType = InterpolationType.LINEAR
     scale_tolerance: float = 1e-6   # AutoScaleEstimator tol (mestimator.h:63)
+    # RELATIVE sigma-stability tolerance: re-estimation stops once the last
+    # sigma step was below ``scale_tolerance_rel * sigma`` (in addition to
+    # the reference's absolute test above).  The reference's 1e-6 absolute
+    # tolerance is effectively "never stable" for unit-scale descriptors
+    # (BitPlanes sigma ~0.05-0.3), so sigma keeps drifting with the pose,
+    # the cost stays non-stationary, and the function-tolerance test cannot
+    # fire — measured grind: 28-46 GN iters/frame on BitPlanes (vs ~17 for
+    # intensity) with zero accuracy benefit.  Measured A/B (KITTI-shape
+    # value-noise scene, 12 frames): BitPlanes 30.3 iters/err 0.0025 at 0 ->
+    # 21.0/0.0023 at 0.01 -> 19.2/0.0022 at 0.05; intensity 17.6/2e-5 ->
+    # 16.9/2e-5 at 0.01.  Default 0.01; 0 restores reference semantics
+    # (BPVO_SCALE_TOL_REL overrides).
+    scale_tolerance_rel: float = float(
+        os.environ.get("BPVO_SCALE_TOL_REL", "0.01"))
     use_histogram_median: bool = True
     # per-iteration table like the reference's kIteration verbosity
     # (pose_estimator_base.h:231-247), printed from inside the jitted loop
@@ -85,20 +99,37 @@ class GNOptions:
     # f32 elsewhere; bf16-valued taps are accuracy-neutral (corridor ATE
     # 0.0120 vs 0.0123 m).  See PERFORMANCE.md.
     taps_dtype: str = os.environ.get("BPVO_TAPS_DTYPE", "auto")
+    # single-pass bf16 column-mix matmul in the fused kernels ("1" | "0" |
+    # "auto").  Measured on device: stacked C=8 drops 0.87 -> 0.38 ms with
+    # bf16's ~0.4%-of-value sampling noise.  That noise is relative to the
+    # CHANNEL scale, so "auto" resolves to bf16 only for the unit-scale
+    # census-bit descriptor (BitPlanes) — ``from_params`` knows the
+    # descriptor and resolves it; a raw GNOptions() treats auto as f32.
+    # On a 255-scale multi-channel stack the same noise moves the converged
+    # pose by ~1e-3 (tests/test_pallas.py cross-backend check), which is why
+    # auto is per-descriptor rather than per-channel-count.
+    fused_bf16: str = os.environ.get("BPVO_FUSED_BF16", "auto")
 
     @classmethod
     def from_params(cls, p: AlgorithmParameters, coarse: bool) -> "GNOptions":
         """Coarse levels get relaxed tolerances and the smoother Huber loss
         (reference pose_estimator_params.cc:36-47)."""
-        from bpvo_tpu.types import VerbosityType
+        from bpvo_tpu.types import DescriptorType, VerbosityType
         verbose = p.verbosity in (VerbosityType.ITERATION, VerbosityType.DEBUG)
+        # resolve the "auto" bf16 column-mix policy per descriptor (see the
+        # fused_bf16 field comment): unit-scale census bits tolerate the
+        # bf16 sampling noise, 255-scale channels measurably do not
+        env_bf16 = os.environ.get("BPVO_FUSED_BF16", "auto")
+        bf16 = (env_bf16 if env_bf16 in ("0", "1")
+                else ("1" if p.descriptor == DescriptorType.BITPLANES
+                      else "0"))
         if not coarse or not p.relaxTolerancesForCoarseLevels:
             return cls(max_iterations=p.maxIterations,
                        function_tolerance=p.functionTolerance,
                        parameter_tolerance=p.parameterTolerance,
                        gradient_tolerance=p.gradientTolerance,
                        loss=p.lossFunction, interp=p.interp, verbose=verbose,
-                       warp=p.warpType)
+                       warp=p.warpType, fused_bf16=bf16)
         s = p.coarseToleranceScale
         loss = (p.lossFunction if p.lossFunction == LossFunctionType.L2
                 else LossFunctionType.HUBER)
@@ -107,7 +138,7 @@ class GNOptions:
                    parameter_tolerance=p.parameterTolerance * s,
                    gradient_tolerance=p.gradientTolerance * s,
                    loss=loss, interp=p.interp, verbose=verbose,
-                   warp=p.warpType)
+                   warp=p.warpType, fused_bf16=bf16)
 
 
 class GNState(NamedTuple):
@@ -131,6 +162,22 @@ class GNState(NamedTuple):
     # linearization — 0 on the jnp path.  Nonzero means the band assumption
     # is being stressed (fast rotation); see VOResult.band_overflow.
     band_overflow: jnp.ndarray  # int32
+    # best-iterate fallback: the lowest evaluated cost and its pose.  GN under
+    # IRLS is not monotone; on rare frames the coarse level walks AWAY from
+    # the basin (measured: corridor f83 CentralDifference, cost 450 -> 4220
+    # over 34 iterations, a 1 m single-frame pose error the reference escapes
+    # only by selection luck).  ``run`` returns the best evaluated iterate
+    # when the loop ends unconverged with a worse cost.
+    T_best: jnp.ndarray       # (4, 4)
+    f_best: jnp.ndarray       # cost at T_best
+
+
+def _sigma_unstable(delta_scale, scale, opts: "GNOptions"):
+    """Stable-skip test for sigma re-estimation: absolute (reference
+    mestimator.cc:467-490) OR relative (scale_tolerance_rel) threshold."""
+    return delta_scale > jnp.maximum(
+        jnp.asarray(opts.scale_tolerance, jnp.float32),
+        opts.scale_tolerance_rel * scale)
 
 
 def _linearize(tdata, channels, cam, T, scale, delta_scale, opts: GNOptions,
@@ -141,7 +188,7 @@ def _linearize(tdata, channels, cam, T, scale, delta_scale, opts: GNOptions,
     # lax.cond so the median work is actually not executed when stable.
     # Like the reference's getValidResiduals (linear_system_builder.cc:302-315)
     # we estimate sigma from the first channel only — other channels look alike.
-    do_est = delta_scale > opts.scale_tolerance
+    do_est = _sigma_unstable(delta_scale, scale, opts)
     new_sigma = jax.lax.cond(
         do_est,
         lambda op: mestimator.estimate_scale(op[0], op[1],
@@ -199,14 +246,17 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
     lin = opts.linearize
     if lin == "auto":
         # Measured on device (docs/PALLAS_TPU.json + PERFORMANCE.md A/B):
-        # the fused kernel's one-hot MXU sampling beats XLA's gather path
-        # 2.1x per call for single-channel descriptors (0.37 vs 0.78 ms at
-        # KITTI L0) and 332.6 vs 317.8 Hz end-to-end with the single-pass
-        # sigma rebuild below, but its column-mix matmul cost scales with
-        # channel count while the gather path's does not (8-ch BitPlanes:
-        # 1.01 vs 0.95 ms).  Auto picks by measurement.
+        # - C == 1: the fused kernel's one-hot MXU sampling beats XLA's
+        #   gather path 2.1x per call (0.33 vs 0.55 ms at KITTI L0) and
+        #   332.6 vs 317.8 Hz end-to-end -> fused.
+        # - C > 1 with the bf16 column mix (BitPlanes policy): the stacked
+        #   kernel wins end-to-end, 266.8 vs 231.8 Hz (round-4 A/B,
+        #   bitplanes_backend_ab) -> fused.
+        # - C > 1 at f32: the 3-pass f32 MXU decomposition makes the stacked
+        #   column mix lose badly (119.3 Hz) -> jnp gather path.
         one_channel = tdata.pixels.shape[0] == 1
-        lin = ("fused" if (jax.default_backend() == "tpu" and one_channel)
+        lin = ("fused" if (jax.default_backend() == "tpu"
+                           and (one_channel or opts.fused_bf16 == "1"))
                else "jnp")
     use_fused = (lin == "fused" and opts.warp == "RigidBody"
                  and opts.interp in (InterpolationType.LINEAR,
@@ -230,15 +280,18 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
         stacked = C_ > 1
         maker = (gn_kernel.make_fused_linearize_stacked if stacked
                  else gn_kernel.make_fused_linearize)
+        bf16_ = opts.fused_bf16 == "1"
         runner = maker(rows_, cols_, C_, K_, opts.loss, opts.interp,
-                       interpret=interpret_)
+                       interpret=interpret_, mxu_bf16=bf16_)
         # sigma is estimated from channel-0 residuals only (same policy as
         # the jnp path / reference linear_system_builder.cc:302-315), so the
         # estimation pass runs a 1-channel kernel instance: (1+C)/C kernel
         # cost instead of 2x while scale is still converging
+        # sigma-pass runner shares the bf16 policy: its r0 feeds only the
+        # histogram median, where the ~0.4% sampling noise is sub-bin
         runner0 = (runner if C_ == 1 else maker(
             rows_, cols_, 1, K_, opts.loss, opts.interp,
-            interpret=interpret_))
+            interpret=interpret_, mxu_bf16=bf16_))
         packer = (gn_kernel.pack_template_stacked if stacked
                   else gn_kernel.pack_template)
         jp = packer(tdata.pixels, tdata.jacobians)
@@ -261,7 +314,7 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
                 u, v, Z = warp_mod.project(cam, T, tdata.points)
                 ok = tdata.valid & (Z > 1e-6) & interp_mod.valid_mask(
                     u, v, rows_, cols_, opts.interp)
-                do_est = dscale > opts.scale_tolerance
+                do_est = _sigma_unstable(dscale, scale, opts)
                 H0, g0, f0_sq, r0, w0, band_ok = runner(
                     u, v, ok, ch_pad, jp, scale)
                 n_oob = jnp.sum(ok & ~band_ok).astype(jnp.int32)
@@ -287,7 +340,7 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
                 u, v, Z = warp_mod.project(cam, T, tdata.points)
                 ok = tdata.valid & (Z > 1e-6) & interp_mod.valid_mask(
                     u, v, rows_, cols_, opts.interp)
-                do_est = dscale > opts.scale_tolerance
+                do_est = _sigma_unstable(dscale, scale, opts)
 
                 def est(_):
                     _H, _g, _f, r0, _w, bok = runner0(u, v, ok, ch_pad[:1],
@@ -338,7 +391,7 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
                 r, valid = td_mod.compute_residuals(
                     tdata, channels, cam, T, opts.interp, packed=packed,
                     warp=opts.warp)
-                do_est = dscale > opts.scale_tolerance
+                do_est = _sigma_unstable(dscale, scale, opts)
                 sigma = jax.lax.cond(
                     do_est,
                     lambda op: mestimator.estimate_scale(
@@ -368,7 +421,8 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
         num_iters=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),
         converged=jnp.asarray(False), solver_ok=jnp.asarray(True),
-        band_overflow=jnp.asarray(0, jnp.int32))
+        band_overflow=jnp.asarray(0, jnp.int32),
+        T_best=T0, f_best=jnp.asarray(jnp.inf, f32))
 
     def cond(st: GNState):
         return (~st.converged) & st.solver_ok & (
@@ -406,6 +460,7 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
                 dp=jnp.linalg.norm(dp), s=sigma)
         T = jnp.where(do_update, st.T @ warp_mod.params_to_pose(-dp, s, c),
                       st.T)
+        better = f_new < st.f_best
         return GNState(
             T=T, dp=jnp.where(do_update, dp, st.dp), f_norm=f_new,
             f_norm_prev=st.f_norm, dp_norm_prev=dp_norm, g=g, g_tol=g_tol,
@@ -413,9 +468,17 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
             num_iters=st.num_iters + 1,
             status=jnp.where(ok, status, STATUS_SOLVER_ERROR).astype(jnp.int32),
             converged=conv, solver_ok=ok,
-            band_overflow=jnp.maximum(st.band_overflow, n_oob))
+            band_overflow=jnp.maximum(st.band_overflow, n_oob),
+            T_best=jnp.where(better, st.T, st.T_best),
+            f_best=jnp.where(better, f_new, st.f_best))
 
-    return jax.lax.while_loop(cond, body, init)
+    st = jax.lax.while_loop(cond, body, init)
+    # Unconverged exits (max iterations / solver error) whose final evaluated
+    # cost exceeds the best seen fall back to the best evaluated iterate —
+    # f_new in the loop is the cost of the ENTERING pose, so on convergence
+    # st.T is the evaluated pose and is kept as-is.
+    use_best = (~st.converged) & (st.f_best < st.f_norm)
+    return st._replace(T=jnp.where(use_best, st.T_best, st.T))
 
 
 def fraction_of_good_points(weights, num_channels, num_valid, threshold):

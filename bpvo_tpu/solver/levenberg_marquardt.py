@@ -78,7 +78,7 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
         H2, g2, f_sq = linear_system.build(tdata.jacobians, r_new, w2)
         f_new = jnp.sqrt(f_sq)
         # sigma update for the NEXT cycle, applied only if this step lands
-        do_est = st.delta_scale > opts.scale_tolerance
+        do_est = gn._sigma_unstable(st.delta_scale, st.scale, opts)
         new_sigma = jax.lax.cond(
             do_est,
             lambda op: mestimator.estimate_scale(op[0], op[1],
@@ -86,6 +86,16 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
             lambda op: st.scale, (r_new[0], valid_new))
         new_delta = jnp.where(do_est, jnp.abs(new_sigma - st.scale),
                               st.delta_scale)
+        # quantities CARRIED into the next cycle must be consistent with the
+        # sigma that cycle will use: when sigma moves on an accepted step,
+        # re-weight the (already computed) residuals under new_sigma — else
+        # the next rho again compares costs across weightings and a shrinking
+        # sigma mass-rejects every step (measured: 133 iters/frame intensity)
+        w_carry = mestimator.compute_weights(opts.loss, r_new,
+                                             valid_new[None, :], new_sigma)
+        H_carry, g_carry, fc_sq = linear_system.build(tdata.jacobians, r_new,
+                                                      w_carry)
+        f_carry = jnp.sqrt(fc_sq)
 
         pred = jnp.dot(dp, st.mu * dp + st.g)
         rho = (st.f_norm ** 2 - f_new ** 2) / jnp.maximum(pred, 1e-20)
@@ -106,13 +116,13 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
 
         return LMState(
             T=jnp.where(accept, T_new, st.T),
-            f_norm=jnp.where(accept, f_new, st.f_norm),
-            g=jnp.where(accept, g2, st.g),
-            H=jnp.where(accept, H2, st.H),
+            f_norm=jnp.where(accept, f_carry, st.f_norm),
+            g=jnp.where(accept, g_carry, st.g),
+            H=jnp.where(accept, H_carry, st.H),
             mu=mu_new, nu=nu_new,
             scale=jnp.where(accept, new_sigma, st.scale),
             delta_scale=jnp.where(accept, new_delta, st.delta_scale),
-            weights=jnp.where(accept, w2, st.weights),
+            weights=jnp.where(accept, w_carry, st.weights),
             num_iters=st.num_iters + 1,
             converged=conv,
             status=jnp.where(conv, status, st.status).astype(jnp.int32))

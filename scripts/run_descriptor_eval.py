@@ -1,7 +1,12 @@
 """Generate docs/DESCRIPTOR_EVAL.md: every descriptor (incl. learned-triplet
 LATCH) + a GN-vs-LM solver column, over the synthetic corridor with exact
-ground truth (VERDICT r2 item 8; reference apps/eval_descriptors.cc)."""
+ground truth (VERDICT r2 item 8; reference apps/eval_descriptors.cc) — and a
+HEAD-TO-HEAD REFERENCE COLUMN (VERDICT r3 item 4): the compiled reference
+binary (ref_harness/build/ref_vo_runner) runs the same on-disk corridor with
+the same config per descriptor, so degenerate cells are attributable to the
+descriptor rather than to either implementation."""
 import os
+import re
 import sys
 from pathlib import Path
 
@@ -12,14 +17,87 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import numpy as np  # noqa: E402
+
 from bpvo_tpu.apps import eval_descriptors as ed  # noqa: E402
 from bpvo_tpu.types import DescriptorType  # noqa: E402
 
-CONF = str(Path(__file__).resolve().parents[1] / "conf" / "eval_corridor.cfg")
+ROOT = Path(__file__).resolve().parents[1]
+CONF = str(ROOT / "conf" / "eval_corridor.cfg")
+
+# our descriptor tag -> the reference's config-string name.  The reference
+# parses exactly 7 descriptor names (DescriptorTypeFromString,
+# /root/reference/bpvo/types.cc:148-161); DescriptorFields2ndOrder has a
+# ToString but NO FromString, so it cannot be selected from a config file and
+# the reference column is structurally empty for it.
+REF_DESC = {
+    "Intensity": "Intensity",
+    "BitPlanes": "BitPlanes",
+    "IntensityAndGradient": "IntensityAndGradient",
+    "DescriptorFields1": "DescriptorFields",
+    "CentralDifference": "CentralDifference",
+    "Laplacian": "Laplacian",
+    "Latch": "Latch",
+}
+
+# algorithm keys shared with conf/eval_corridor.cfg (no Dataset keys — the
+# reference runner takes file patterns directly)
+REF_CONFIG = """\
+numPyramidLevels = 3
+maxTestLevel = 0
+maxIterations = 100
+parameterTolerance = 1e-6
+functionTolerance = 1e-5
+relaxTolerancesForCoarseLevels = 1
+lossFunction = Huber
+verbosity = Silent
+minValidDisparity = 0.1
+maxValidDisparity = 512
+minSaliency = 0.01
+nonMaxSuppRadius = 1
+minNumPixelsForNonMaximaSuppression = 320
+Descriptor = {descriptor}
+"""
+
+
+def run_reference_column(n: int):
+    """Run ref_vo_runner for every reference-parsable descriptor over the
+    on-disk corridor; returns {our_tag: {"ate_rmse_m", "mean_iters"}}."""
+    from bpvo_tpu.data.synthetic import (SyntheticCorridorDataset,
+                                         write_sequence)
+    from run_parity import evaluate, run_reference
+
+    seq_dir = str(ROOT / "parity_data" / "eval_corridor")
+    gt_file = os.path.join(seq_dir, "gt_kitti.txt")
+    if not os.path.exists(gt_file):
+        ds = SyntheticCorridorDataset(rows=240, cols=320, n_frames=n)
+        print(f"[gen] eval corridor: {n} frames -> {seq_dir}")
+        write_sequence(ds, seq_dir, n)
+
+    out = {}
+    for tag, ref_name in REF_DESC.items():
+        config = os.path.join(seq_dir, f"ref_{tag.lower()}.cfg")
+        with open(config, "w") as f:
+            f.write(REF_CONFIG.format(descriptor=ref_name))
+        prefix = os.path.join(seq_dir, f"ref_{tag.lower()}")
+        print(f"[ref] {tag}")
+        try:
+            run_reference(seq_dir, config, prefix)
+            m = evaluate(gt_file, prefix + "_kitti.txt")
+            iters = np.loadtxt(prefix + "_iters.txt")
+            out[tag] = {"ate_rmse_m": m["ate_rmse_m"],
+                        "mean_iters": float(np.mean(iters))}
+        except Exception as e:  # pragma: no cover - records the failure
+            print(f"[ref] {tag} FAILED: {e}")
+            msg = re.sub(r"\x1b\[[0-9;]*m", "", str(e))   # strip ANSI color
+            msg = " ".join(msg.split())[:90]  # single line for the table
+            out[tag] = {"error": msg}
+    return out
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    ref = run_reference_column(n)
     # all descriptors under GN
     res = ed.run(CONF, num_frames=n)
     # solver ablation on the two flagship descriptors
@@ -29,24 +107,36 @@ def main():
                     solvers=("GaussNewton", "LevenbergMarquardt"))
 
     lines = [
-        "# Descriptor / solver ablation (round 3)",
+        "# Descriptor / solver ablation (round 4)",
         "",
         f"Synthetic corridor, {n} frames, exact ground truth "
         "(`conf/eval_corridor.cfg`, `scripts/run_descriptor_eval.py`; "
         "reference analogue apps/eval_descriptors.cc over Tsukuba — no real "
-        "datasets exist in this container).  LATCH uses the OpenCV learned "
-        "triplet table (`bpvo_tpu/ops/latch_table.py`).  Timing is host CPU "
-        "(relative cost only; device rates live in BENCH_*.json).",
+        "datasets exist in this container).  The reference column is the "
+        "compiled reference binary over the byte-identical on-disk corridor "
+        "with the same algorithm config (ref_harness/).  LATCH uses the "
+        "OpenCV learned triplet table (`bpvo_tpu/ops/latch_table.py`).  "
+        "Timing is host CPU (relative cost only; device rates live in "
+        "BENCH_*.json).",
         "",
-        "## All descriptors (Gauss-Newton)",
+        "## All descriptors (Gauss-Newton), ours vs reference",
         "",
-        "| descriptor | ATE RMSE (m) | mean iters | ms/frame (CPU) |",
-        "|---|---|---|---|",
+        "| descriptor | ATE ours (m) | ATE reference (m) | iters ours | "
+        "iters ref | ms/frame ours (CPU) |",
+        "|---|---|---|---|---|---|",
     ]
     for tag, r in res.items():
         ate = f"{r.get('ate_rmse_m', float('nan')):.4f}"
-        lines.append(f"| {tag} | {ate} | {r['mean_iters']:.1f} | "
-                     f"{r['mean_ms']:.1f} |")
+        rr = ref.get(tag)
+        if rr is None:
+            ra, ri = "n/a (no config string, types.cc:148-161)", "—"
+        elif "error" in rr:
+            ra, ri = f"FAILED: {rr['error']}", "—"
+        else:
+            ra = f"{rr['ate_rmse_m']:.4f}"
+            ri = f"{rr['mean_iters']:.1f}"
+        lines.append(f"| {tag} | {ate} | {ra} | {r['mean_iters']:.1f} | "
+                     f"{ri} | {r['mean_ms']:.1f} |")
     lines += [
         "",
         "## GN vs LM (pose_estimator_lm.h peer-solver comparison)",
@@ -62,9 +152,15 @@ def main():
     lines.append("")
     lines.append(
         "Notes: `Latch` runs the reference's own default `latchNumBytes = 1` "
-        "(types.cc:38) = only the first 8 of 512 learned triplets; see the "
-        "committed table for the full-run interpretation notes.")
-    out = Path(__file__).resolve().parents[1] / "docs" / "DESCRIPTOR_EVAL.md"
+        "(types.cc:38) = only the first 8 of 512 learned triplets; "
+        "`DescriptorFields2` cannot be selected from a reference config "
+        "(DescriptorTypeFromString has no case for it).  Where BOTH columns "
+        "degrade on a descriptor, the degradation is descriptor-inherent on "
+        "this scene; a healthy reference next to a degraded ours (or vice "
+        "versa) localizes an implementation bug.  The LM rows reflect the "
+        "round-4 fix: IRLS weights held fixed within each accept/reject "
+        "cycle (solver/levenberg_marquardt.py).")
+    out = ROOT / "docs" / "DESCRIPTOR_EVAL.md"
     out.write_text("\n".join(lines))
     print(f"wrote {out}")
 

@@ -332,13 +332,20 @@ def write_markdown(rows, md_path, n_frames):
             "**plane_illum x Intensity (vs x BitPlanes)** — the "
             "illumination-robustness demonstration (reference README.md:8-14; "
             "arXiv:1602.00307).  Identical geometry/motion to `plane_noise`, "
-            "plus time-varying global gain (±35%), bias (±20 gray levels) "
-            "and a moving soft shadow.  Raw intensity's brightness-constancy "
-            "assumption is violated and BOTH frameworks' Intensity cells "
-            "degrade by an order of magnitude; the census-based BitPlanes "
-            "descriptor cancels locally-smooth photometric changes inside "
-            "every 3x3 comparison and keeps tracking (its ATE stays at the "
-            "plane_noise level) in BOTH frameworks.",
+            "plus time-varying LOCAL illumination: a moving soft shadow "
+            "(-65%), a moving spotlight (+80%) and an oscillating vignette "
+            "(SyntheticIlluminationDataset).  Keyframing is throttled "
+            "(minTranslationMagToKeyFrame=0.4, frac-of-good-points test off, "
+            "~17 keyframes vs 50) so templates persist across the lighting "
+            "change — the Bit-Planes paper's regime; with default keyframing "
+            "intensity re-anchors every ~4 frames and hides the difference "
+            "(measured during round 4: global gain/bias alone is ALSO nearly "
+            "harmless, because the auto-scaled M-estimator is scale-free — "
+            "the stressor must be spatial and the template long-lived).  "
+            "Result: raw intensity degrades an order of magnitude vs its "
+            "plane_noise cell IN BOTH frameworks while BitPlanes holds at "
+            "its plane_noise level in both — the census transform cancels "
+            "locally-smooth illumination inside every 3x3 comparison.",
             "",
         ]
     if any(r.get("ablation") for r in rows):
