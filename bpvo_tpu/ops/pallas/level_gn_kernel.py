@@ -1,0 +1,480 @@
+"""Whole-GN-level Pallas kernel: the COMPLETE IRLS Gauss-Newton loop for one
+coarse pyramid level — projection, bilinear sampling, robust sigma, weights,
+normal equations, 6x6 Cholesky, SE(3) exponential and pose composition,
+convergence tests, best-iterate fallback — inside ONE kernel invocation.
+
+Why: the round-4 fixed-cost decomposition (docs/PERFORMANCE.md,
+microbench_fixed.py) showed each per-level GN run pays ~0.3 ms of
+SIZE-INDEPENDENT serial scalar chains in XLA (sigma estimation 0.11 ms, the
+unrolled 6x6 solve 0.11 ms, exp+compose 0.11 ms — each a ~100-op dependency
+chain at ~1 us/op of per-op overhead).  Inside a Pallas kernel those same
+chains run on the scalar core at nanoseconds per op, so a coarse level whose
+POINT work is trivial (512-1024 points, image fully VMEM-resident) collapses
+from ~0.3 ms + 30-70 us/iter to roughly its pure compute.
+
+Scope (coarse levels only — the guards in solver/gauss_newton.py):
+  * image fits VMEM whole: (C, Hp, Wp) with no row banding;
+  * K <= 2048 points, RigidBody warp, Linear/Cosine interpolation, GN solver;
+  * sigma: median via 16-step count bisection (resolution rmax/2^16 — finer
+    than the 1024-bin histogram), same 1.4826(1+5/(n-6)) scale and
+    stable-skip semantics as solver/mestimator.py;
+  * convergence tests, first-iteration gating, Levenberg-jittered Cholesky
+    with residual check, and the best-iterate fallback mirror
+    solver/gauss_newton.py run() exactly (asserted by tests/test_pallas.py).
+
+Reference counterpart: the whole of pose_estimator_base.h:324-407 +
+pose_estimator_gn.h:70-81 per level, as one fused device program.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bpvo_tpu.solver.mestimator import HUBER_K, TUKEY_T
+from bpvo_tpu.types import InterpolationType, LossFunctionType
+
+_SQRT_EPS = 3.452669831e-4
+
+STATUS_MAX_ITERATIONS = 0
+STATUS_PARAMETER_TOL = 1
+STATUS_FUNCTION_TOL = 2
+STATUS_GRADIENT_TOL = 3
+STATUS_SOLVER_ERROR = 4
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _weight(u, loss: str):
+    if loss == "Tukey":
+        x = u / TUKEY_T
+        w = (1.0 - x * x)
+        return jnp.where(jnp.abs(u) < TUKEY_T, w * w, 0.0)
+    if loss == "Huber":
+        au = jnp.abs(u)
+        return jnp.where(au < HUBER_K, 1.0, HUBER_K / jnp.maximum(au, 1e-20))
+    return jnp.ones_like(u)
+
+
+def _chol6_solve(h, g):
+    """Scalar 6x6 Cholesky solve; h[i][j], g[i] python lists of scalars."""
+    tiny = 1e-20
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = h[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, tiny))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * 6
+    for i in range(6):
+        s = g[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _exp_combined(dp, s_n, c0, c1, c2):
+    """R', t' of T_n^{-1} exp(dp) T_n from 6 twist scalars (warp.py
+    params_to_pose expanded: R' = Re, t' = te/s + c - Re c)."""
+    w0, w1, w2 = dp[0], dp[1], dp[2]
+    v0, v1, v2 = dp[3], dp[4], dp[5]
+    t2 = w0 * w0 + w1 * w1 + w2 * w2
+    theta = jnp.sqrt(jnp.maximum(t2, 1e-30))
+    small = t2 < 1e-8
+    A = jnp.where(small, 1.0 - t2 / 6.0 + t2 * t2 / 120.0,
+                  jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - t2 / 24.0 + t2 * t2 / 720.0,
+                  (1.0 - jnp.cos(theta)) / jnp.maximum(t2, 1e-30))
+    C = jnp.where(small, 1.0 / 6.0 - t2 / 120.0 + t2 * t2 / 5040.0,
+                  (1.0 - A) / jnp.maximum(t2, 1e-30))
+    # W = hat(w); R = I + A W + B W^2;  V = I + B W + C W^2
+    # W^2 entries
+    ww00 = -(w1 * w1 + w2 * w2)
+    ww11 = -(w0 * w0 + w2 * w2)
+    ww22 = -(w0 * w0 + w1 * w1)
+    ww01 = w0 * w1
+    ww02 = w0 * w2
+    ww12 = w1 * w2
+    R = [[1.0 + B * ww00, -A * w2 + B * ww01, A * w1 + B * ww02],
+         [A * w2 + B * ww01, 1.0 + B * ww11, -A * w0 + B * ww12],
+         [-A * w1 + B * ww02, A * w0 + B * ww12, 1.0 + B * ww22]]
+    V = [[1.0 + C * ww00, -B * w2 + C * ww01, B * w1 + C * ww02],
+         [B * w2 + C * ww01, 1.0 + C * ww11, -B * w0 + C * ww12],
+         [-B * w1 + C * ww02, B * w0 + C * ww12, 1.0 + C * ww22]]
+    te = [V[i][0] * v0 + V[i][1] * v1 + V[i][2] * v2 for i in range(3)]
+    c = [c0, c1, c2]
+    inv_s = 1.0 / s_n
+    t = [te[i] * inv_s + c[i]
+         - (R[i][0] * c[0] + R[i][1] * c[1] + R[i][2] * c[2])
+         for i in range(3)]
+    return R, t
+
+
+def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
+            outT_ref, stats_ref, h8_ref, *,
+            H: int, W: int, C: int, K: int, loss: str, cosine: bool,
+            max_iterations: int, function_tolerance: float,
+            parameter_tolerance: float, gradient_tolerance: float,
+            scale_tolerance: float, scale_tolerance_rel: float):
+    Hp = img_ref.shape[1]
+    Wp = img_ref.shape[2]
+    Kp = pts_ref.shape[1]
+
+    fx = scal_ref[0]
+    fy = scal_ref[1]
+    cx = scal_ref[2]
+    cy = scal_ref[3]
+    s_n = scal_ref[4]
+    c0 = scal_ref[5]
+    c1 = scal_ref[6]
+    c2 = scal_ref[7]
+    sigma0 = scal_ref[8]
+    dscale0 = scal_ref[9]
+
+    X = pts_ref[0:1, :]
+    Y = pts_ref[1:2, :]
+    Zp = pts_ref[2:3, :]
+    val = pts_ref[3:4, :]
+
+    flat_img = img_ref[:, :, :].reshape(C * Hp, Wp)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (Wp, Kp), 0)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (Hp, Kp), 0)
+    rid8 = jax.lax.broadcasted_iota(jnp.int32, (8, Kp), 0)
+
+    def linearize(Ts):
+        """One linearization at pose scalars Ts = (R 9, t 3); returns
+        (block8 (8,8) array, ok (1,Kp), r0 (1,Kp))."""
+        (r00, r01, r02, r10, r11, r12, r20, r21, r22, tx, ty, tz) = Ts
+        Xc = r00 * X + r01 * Y + r02 * Zp + tx
+        Yc = r10 * X + r11 * Y + r12 * Zp + ty
+        Zc = r20 * X + r21 * Y + r22 * Zp + tz
+        zi = 1.0 / jnp.where(jnp.abs(Zc) > 1e-12, Zc, 1e-12)
+        u = fx * Xc * zi + cx
+        v = fy * Yc * zi + cy
+        xi = jnp.floor(u)
+        yi = jnp.floor(v)
+        ok = ((val > 0) & (Zc > 1e-6)
+              & (xi >= 0) & (xi < W - 1) & (yi >= 0) & (yi < H - 1))
+        okf = ok.astype(jnp.float32)
+        xii = jnp.clip(xi.astype(jnp.int32), 0, W - 2)
+        yii = jnp.clip(yi.astype(jnp.int32), 0, H - 2)
+        xf = u - xii.astype(jnp.float32)
+        yf = v - yii.astype(jnp.float32)
+        if cosine:
+            xf = (1.0 - jnp.cos(xf * jnp.pi)) * 0.5
+            yf = (1.0 - jnp.cos(yf * jnp.pi)) * 0.5
+        onehot = (jnp.where(cid == xii, 1.0 - xf, 0.0)
+                  + jnp.where(cid == xii + 1, xf, 0.0))
+        colmix = jax.lax.dot_general(
+            flat_img, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (C*Hp, Kp)
+        row_w = (jnp.where(rid == yii, 1.0 - yf, 0.0)
+                 + jnp.where(rid == yii + 1, yf, 0.0))   # (Hp, Kp)
+        cm3 = colmix.reshape(C, Hp, Kp)
+
+        rs = []
+        for c in range(C):
+            I1 = jnp.sum(cm3[c] * row_w, axis=0, keepdims=True)  # (1, Kp)
+            pix = jp_ref[c, 6:7, :]
+            rs.append((I1 - pix) * okf)
+        return ok, okf, rs
+
+    def reduce_system(rs, okf, sigma):
+        lhs_list, rhs_list = [], []
+        w_sum_sq = None
+        for c in range(C):
+            rc = rs[c]
+            wc = _weight(rc / sigma, loss) * okf              # (1, Kp)
+            jpc = jp_ref[c]                                   # (8, Kp)
+            rb = jnp.broadcast_to(rc, (8, Kp))
+            wb = jnp.broadcast_to(wc, (8, Kp))
+            rhs_list.append(jnp.where(rid8 >= 6, rb, jpc))
+            lhs_list.append(
+                jnp.where(rid8 == 7, 0.0,
+                          jnp.where(rid8 == 6, rb, jpc)) * wb)
+        lhs = jnp.concatenate(lhs_list, axis=1) if C > 1 else lhs_list[0]
+        rhs = jnp.concatenate(rhs_list, axis=1) if C > 1 else rhs_list[0]
+        return jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (8, 8)
+
+    def median_bisect(r0_abs, ok):
+        """Median of |r0| over ok via 16-step count bisection."""
+        n = jnp.sum(ok.astype(jnp.float32))
+        target = jnp.floor((n + 1.0) * 0.5)
+        rmax = jnp.max(jnp.where(ok, r0_abs, 0.0))
+        lo = jnp.asarray(0.0, jnp.float32)
+        hi = rmax
+
+        def body(_, lh):
+            lo, hi = lh
+            mid = (lo + hi) * 0.5
+            cnt = jnp.sum((ok & (r0_abs <= mid)).astype(jnp.float32))
+            pred = cnt >= target
+            return (jnp.where(pred, lo, mid), jnp.where(pred, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, 16, body, (lo, hi))
+        med = lo
+        return jnp.where(n > 0, med, 0.0), n
+
+    f32 = jnp.float32
+    eye = (f32(1), f32(0), f32(0), f32(0), f32(1), f32(0),
+           f32(0), f32(0), f32(1), f32(0), f32(0), f32(0))
+    T_init = tuple(T0_ref[i * 4 + j] for i in range(3) for j in range(3)) + \
+        tuple(T0_ref[i * 4 + 3] for i in range(3))
+    # reorder to (R row-major 9, t 3)
+    Tq = (T0_ref[0], T0_ref[1], T0_ref[2],
+          T0_ref[4], T0_ref[5], T0_ref[6],
+          T0_ref[8], T0_ref[9], T0_ref[10],
+          T0_ref[3], T0_ref[7], T0_ref[11])
+    del T_init, eye
+
+    big = f32(jnp.inf)
+    init = (jnp.asarray(0, jnp.int32),        # 0 it
+            jnp.asarray(False),               # 1 converged
+            jnp.asarray(True),                # 2 solver_ok
+            f32(0.0),                         # 3 f_norm (prev linearize)
+            f32(0.0),                         # 4 |dp| of carried update
+            f32(0.0),                         # 5 |dp| one step earlier
+            f32(0.0),                         # 6 g_tol
+            sigma0,                           # 7 sigma
+            dscale0,                          # 8 delta_scale
+            jnp.asarray(STATUS_MAX_ITERATIONS, jnp.int32),  # 9 status
+            big,                              # 10 f_best
+            Tq,                               # 11 T_best scalars
+            Tq,                               # 12 T scalars
+            f32(0.0))                         # 13 g_norm (last)
+
+    def cond(st):
+        return (~st[1]) & st[2] & (st[0] < max_iterations)
+
+    def body(st):
+        (it, conv, sok, f_prev, dpn_last, dpn_prev2, g_tol, sigma, dscale,
+         status, f_best, Tb, Ts, _gn) = st
+        first = it == 0
+
+        ok, okf, rs = linearize(Ts)
+        # sigma (channel-0 residuals), stable-skip semantics
+        do_est = dscale > jnp.maximum(f32(scale_tolerance),
+                                      scale_tolerance_rel * sigma)
+        med, n = median_bisect(jnp.abs(rs[0]), ok)
+        scale_est = 1.4826 * (1.0 + 5.0 / jnp.maximum(n - 6.0, 1.0)) * med
+        scale_est = jnp.where(scale_est < 1e-6, 1.0, scale_est)
+        sigma_new = jnp.where(do_est, scale_est, sigma)
+        dscale_new = jnp.where(do_est, jnp.abs(sigma_new - sigma), dscale)
+
+        block8 = reduce_system(rs, okf, sigma_new)
+        h8_ref[:, :] = jnp.pad(block8, ((0, 0), (0, 120)))
+        h = [[h8_ref[i, j] for j in range(6)] for i in range(6)]
+        g = [h8_ref[i, 6] for i in range(6)]
+        f_new = jnp.sqrt(jnp.maximum(h8_ref[6, 6], 0.0))
+
+        g_norm = jnp.abs(g[0])
+        for i in range(1, 6):
+            g_norm = jnp.maximum(g_norm, jnp.abs(g[i]))
+        g_tol_new = jnp.where(
+            first, gradient_tolerance * jnp.maximum(g_norm, _SQRT_EPS), g_tol)
+
+        # convergence tests (solver/gauss_newton._test_convergence): the
+        # parameter test compares the CARRIED |dp| against the one before it
+        p_tol = ((dpn_last < parameter_tolerance)
+                 | (dpn_last < parameter_tolerance * (_SQRT_EPS + dpn_prev2)))
+        f_tol = ((f_new < function_tolerance)
+                 | (f_new < function_tolerance * (_SQRT_EPS + f_prev))
+                 | (jnp.abs(f_new - f_prev) < function_tolerance)
+                 | (jnp.abs(f_new - f_prev)
+                    < function_tolerance * jnp.maximum(f_prev, 1.0)))
+        g_ok = g_norm < g_tol_new
+        status_new = jnp.where(
+            p_tol, STATUS_PARAMETER_TOL,
+            jnp.where(f_tol, STATUS_FUNCTION_TOL,
+                      jnp.where(g_ok, STATUS_GRADIENT_TOL,
+                                STATUS_MAX_ITERATIONS)))
+        conv_new = p_tol | f_tol | g_ok
+        conv_new = jnp.where(first, g_ok, conv_new)
+        status_new = jnp.where(
+            first, jnp.where(g_ok, STATUS_GRADIENT_TOL,
+                             STATUS_MAX_ITERATIONS),
+            status_new).astype(jnp.int32)
+
+        # Levenberg-jittered Cholesky (solver/linear_system.solve)
+        maxdiag = h[0][0]
+        for i in range(1, 6):
+            maxdiag = jnp.maximum(maxdiag, h[i][i])
+        jit_ = 1e-6 * maxdiag + 1e-12
+        haug = [[h[i][j] + (jit_ if i == j else 0.0) for j in range(6)]
+                for i in range(6)]
+        dp = _chol6_solve(haug, g)
+        finite = jnp.isfinite(dp[0])
+        for i in range(1, 6):
+            finite = finite & jnp.isfinite(dp[i])
+        dp = [jnp.where(finite, d, 0.0) for d in dp]
+        # residual check |H dp - g|_inf <= 1e-3 (1 + |g|_inf)
+        resid = f32(0.0)
+        for i in range(6):
+            ri = -g[i]
+            for j in range(6):
+                ri = ri + h[i][j] * dp[j]
+            resid = jnp.maximum(resid, jnp.abs(ri))
+        ok_solve = finite & (resid <= 1e-3 * (1.0 + g_norm))
+
+        dp_norm = jnp.sqrt(dp[0] * dp[0] + dp[1] * dp[1] + dp[2] * dp[2]
+                           + dp[3] * dp[3] + dp[4] * dp[4] + dp[5] * dp[5])
+        do_update = (~conv_new) & ok_solve
+
+        # T <- T @ params_to_pose(-dp)
+        ndp = [-d for d in dp]
+        Re, te = _exp_combined(ndp, s_n, c0, c1, c2)
+        (r00, r01, r02, r10, r11, r12, r20, r21, r22, tx, ty, tz) = Ts
+        Rm = [[r00, r01, r02], [r10, r11, r12], [r20, r21, r22]]
+        Rn = [[sum(Rm[i][k] * Re[k][j] for k in range(3)) for j in range(3)]
+              for i in range(3)]
+        tn = [sum(Rm[i][k] * te[k] for k in range(3)) + [tx, ty, tz][i]
+              for i in range(3)]
+        Ts_new = tuple(
+            jnp.where(do_update, x, y) for x, y in zip(
+                (Rn[0][0], Rn[0][1], Rn[0][2], Rn[1][0], Rn[1][1], Rn[1][2],
+                 Rn[2][0], Rn[2][1], Rn[2][2], tn[0], tn[1], tn[2]), Ts))
+
+        better = f_new < f_best
+        Tb_new = tuple(jnp.where(better, x, y) for x, y in zip(Ts, Tb))
+        f_best_new = jnp.where(better, f_new, f_best)
+
+        status_out = jnp.where(ok_solve, status_new,
+                               STATUS_SOLVER_ERROR).astype(jnp.int32)
+        dpn_carried = jnp.where(do_update, dp_norm, dpn_last)
+        return (it + 1, conv_new, ok_solve, f_new, dpn_carried, dpn_last,
+                g_tol_new, sigma_new, dscale_new, status_out, f_best_new,
+                Tb_new, Ts_new, g_norm)
+
+    st = jax.lax.while_loop(cond, body, init)
+    (it, conv, sok, f_norm, _dpn, _dpn2, _gt, sigma, dscale, status, f_best,
+     Tb, Ts, g_norm) = st
+    use_best = (~conv) & (f_best < f_norm)
+    Tf = tuple(jnp.where(use_best, b, t) for b, t in zip(Tb, Ts))
+    (r00, r01, r02, r10, r11, r12, r20, r21, r22, tx, ty, tz) = Tf
+    row_major = (r00, r01, r02, tx, r10, r11, r12, ty,
+                 r20, r21, r22, tz, f32(0), f32(0), f32(0), f32(1))
+    for i in range(16):
+        outT_ref[i] = row_major[i]
+    stats_ref[0] = it.astype(jnp.float32)
+    stats_ref[1] = f_norm
+    stats_ref[2] = g_norm
+    stats_ref[3] = status.astype(jnp.float32)
+    stats_ref[4] = sigma
+    stats_ref[5] = dscale
+    stats_ref[6] = conv.astype(jnp.float32)
+    stats_ref[7] = sok.astype(jnp.float32)
+
+
+# VMEM image budget for "whole image resident" (bytes); coarse KITTI levels
+# are 0.1-4 MB, far below this
+MAX_IMG_BYTES = 6 * 1024 * 1024
+MAX_POINTS = 2048
+
+
+def supports(rows: int, cols: int, C: int, K: int, opts) -> bool:
+    """Static eligibility: coarse-level shapes + the option subset the kernel
+    implements (solver/gauss_newton.py consults this)."""
+    Hp = _round_up(rows, 8)
+    Wp = _round_up(cols, 128)
+    return (K <= MAX_POINTS
+            and C * Hp * Wp * 4 <= MAX_IMG_BYTES
+            and opts.warp == "RigidBody"
+            and not opts.verbose
+            and opts.interp in (InterpolationType.LINEAR,
+                                InterpolationType.COSINE))
+
+
+def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
+                  interpret: bool = False):
+    """Build the one-kernel level runner.
+
+    Returns ``run(points (K,3), valid (K,), pixels (C,K), jacobians (C,K,6),
+    channels (C,rows,cols), T0 (4,4), sigma0, dscale0, s, c) ->
+    (T (4,4), stats (8,))`` with stats as written by the kernel
+    (iters, f_norm, g_norm, status, sigma, delta_scale, converged, solver_ok).
+    """
+    loss_name = {LossFunctionType.TUKEY: "Tukey",
+                 LossFunctionType.HUBER: "Huber",
+                 LossFunctionType.L2: "L2"}[opts.loss]
+    Hp = _round_up(rows, 8)
+    Wp = _round_up(cols, 128)
+    Kp = _round_up(K, 128)
+
+    kern = partial(
+        _kernel, H=rows, W=cols, C=C, K=K, loss=loss_name,
+        cosine=(opts.interp == InterpolationType.COSINE),
+        max_iterations=opts.max_iterations,
+        function_tolerance=opts.function_tolerance,
+        parameter_tolerance=opts.parameter_tolerance,
+        gradient_tolerance=opts.gradient_tolerance,
+        scale_tolerance=opts.scale_tolerance,
+        scale_tolerance_rel=opts.scale_tolerance_rel)
+
+    call = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal (16,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # T0 (16,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # pts (8, Kp)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # jp (C, 8, Kp)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # img (C, Hp, Wp)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # T out (16,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # stats (8,)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((16,), jnp.float32),
+            jax.ShapeDtypeStruct((8,), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        interpret=interpret,
+    )
+
+    def run(cam, points, valid, pixels, jacobians, channels, T0, sigma0,
+            dscale0, s, c):
+        pts = jnp.zeros((8, Kp), jnp.float32)
+        pts = pts.at[0, :K].set(points[:, 0])
+        pts = pts.at[1, :K].set(points[:, 1])
+        pts = pts.at[2, :K].set(points[:, 2])
+        pts = pts.at[3, :K].set(valid.astype(jnp.float32))
+        # jp: rows 0..5 J^T, 6 pixel, 7 zero
+        J = jnp.pad(jnp.moveaxis(jacobians, 2, 1).astype(jnp.float32),
+                    ((0, 0), (0, 0), (0, Kp - K)))
+        px = jnp.pad(pixels.astype(jnp.float32), ((0, 0), (0, Kp - K)))
+        jp = jnp.concatenate([J, px[:, None, :],
+                              jnp.zeros((C, 1, Kp), jnp.float32)], axis=1)
+        img = jnp.pad(channels.astype(jnp.float32),
+                      ((0, 0), (0, Hp - rows), (0, Wp - cols)))
+        scal = jnp.stack([
+            jnp.asarray(cam.fx, jnp.float32), jnp.asarray(cam.fy, jnp.float32),
+            jnp.asarray(cam.cx, jnp.float32), jnp.asarray(cam.cy, jnp.float32),
+            jnp.asarray(s, jnp.float32),
+            jnp.asarray(c[0], jnp.float32), jnp.asarray(c[1], jnp.float32),
+            jnp.asarray(c[2], jnp.float32),
+            jnp.asarray(sigma0, jnp.float32),
+            jnp.asarray(dscale0, jnp.float32),
+            *([jnp.asarray(0.0, jnp.float32)] * 6)])
+        T16 = jnp.reshape(jnp.asarray(T0, jnp.float32), (16,))
+        outT, stats = call(scal, T16, pts, jp, img)
+        return jnp.reshape(outT, (4, 4)), stats
+
+    return run

@@ -62,7 +62,20 @@ def select_pixels(saliency, disparity, capacity: int, *,
     ok &= bm
 
     score = jnp.where(ok, saliency, -jnp.inf).reshape(-1)
-    vals, idx = jax.lax.top_k(score, capacity)
+    # TPU: approx_max_k (per-lane partial reduction + candidate top-k) is the
+    # hardware-native top-k — the exact lax.top_k sort over H*W scores was
+    # the single most expensive selection stage (1.44 ms at KITTI L0,
+    # docs/PERFORMANCE.md round 3).  Selection is a saliency heuristic, so a
+    # ~0.95-recall candidate set is semantically equivalent: the ~5% misses
+    # are near-threshold pixels swapped for other near-threshold pixels.
+    # BPVO_EXACT_TOPK=1 restores the exact path (and CPU always uses it).
+    import os as _os
+    if (jax.default_backend() == "tpu"
+            and _os.environ.get("BPVO_EXACT_TOPK", "0") != "1"):
+        vals, idx = jax.lax.approx_max_k(score, capacity,
+                                         recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(score, capacity)
     valid = vals > -jnp.inf
     # re-sort the selected pixels into raster order: the per-iteration warped
     # gathers then hit the image nearly sequentially, which coalesces far

@@ -481,6 +481,76 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
     return st._replace(T=jnp.where(use_best, st.T_best, st.T))
 
 
+_LEVEL_KERNEL_CACHE = {}
+
+
+def level_kernel_enabled() -> bool:
+    """Whole-level-GN Pallas kernel policy (BPVO_LEVEL_KERNEL): "auto"
+    (default) = on for TPU, "force" = on everywhere (interpret mode on CPU —
+    tests), "0" = off.
+
+    Measured end-to-end (BENCH_DETAIL / docs/PERFORMANCE.md round 4): the
+    kernel lifts the full bench from 370.9 -> 418.6 Hz intensity and
+    277.3 -> 312.9 Hz BitPlanes.  Correctness is parity-tested vs
+    gauss_newton.run (tests/test_pallas.py TestLevelGnKernel).  One caveat
+    for THIS container's tunneled remote compiler: programs embedding
+    in-kernel while-loops compile slowly (tens of minutes for the full VO
+    scan) — on a normal TPU host with a local compiler this does not apply;
+    set BPVO_LEVEL_KERNEL=0 when compile latency matters more than
+    steady-state rate."""
+    env = os.environ.get("BPVO_LEVEL_KERNEL", "auto")
+    if env == "0":
+        return False
+    if env == "force":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def level_kernel_supported(opts: GNOptions, C: int, rows: int, cols: int,
+                           K: int) -> bool:
+    from bpvo_tpu.ops.pallas import level_gn_kernel as lk
+    return (opts.loss in (LossFunctionType.TUKEY, LossFunctionType.HUBER,
+                          LossFunctionType.L2)
+            and lk.supports(rows, cols, C, K, opts))
+
+
+def run_level_fused(tdata, channels, cam, T_init, opts: GNOptions) -> GNState:
+    """One-kernel coarse-level GN (ops/pallas/level_gn_kernel.py): the entire
+    IRLS loop — sampling, sigma, weights, normal equations, 6x6 solve, exp
+    map, convergence tests, best-iterate fallback — in a single Pallas
+    invocation.  Same contract as ``run`` (a GNState), with the per-point
+    weights left as zeros: callers only consume weights from the FINEST
+    level, which never takes this path (pose_estimator/device_vo gate on
+    level > maxTestLevel)."""
+    from bpvo_tpu.ops.pallas import level_gn_kernel as lk
+
+    C, rows, cols = channels.shape
+    K = tdata.pixels.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    key = (rows, cols, C, K, opts, interpret)
+    if key not in _LEVEL_KERNEL_CACHE:
+        _LEVEL_KERNEL_CACHE[key] = lk.make_level_gn(rows, cols, C, K, opts,
+                                                    interpret=interpret)
+    runner = _LEVEL_KERNEL_CACHE[key]
+    f32 = jnp.float32
+    T, stats = runner(cam, tdata.points, tdata.valid, tdata.pixels,
+                      tdata.jacobians, channels,
+                      jnp.asarray(T_init, f32),
+                      jnp.asarray(1.0, f32), jnp.asarray(1e10, f32),
+                      tdata.norm_scale, tdata.norm_center)
+    # g_norm is folded into g[0] so consumers' max(|g|) reads correctly
+    g = jnp.zeros(6, f32).at[0].set(stats[2])
+    return GNState(
+        T=T, dp=jnp.zeros(6, f32), f_norm=stats[1], f_norm_prev=stats[1],
+        dp_norm_prev=jnp.asarray(0.0, f32), g=g,
+        g_tol=jnp.asarray(0.0, f32), scale=stats[4], delta_scale=stats[5],
+        weights=jnp.zeros((C, K), f32), H=jnp.eye(6, dtype=f32),
+        num_iters=stats[0].astype(jnp.int32),
+        status=stats[3].astype(jnp.int32),
+        converged=stats[6] > 0.5, solver_ok=stats[7] > 0.5,
+        band_overflow=jnp.asarray(0, jnp.int32), T_best=T, f_best=stats[1])
+
+
 def fraction_of_good_points(weights, num_channels, num_valid, threshold):
     """count(w > thresh) / (C * N) (reference vo_pose_estimator.cc:101-107);
     N is the true (unpadded) template point count."""

@@ -130,9 +130,22 @@ def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
         lin = (linearize_factory(level, templates[level], channels_pyr[level],
                                  cams[level], opts_per_level[level])
                if linearize_factory is not None else None)
-        st = run_level(templates[level], channels_pyr[level], cams[level], T,
-                       opts_per_level[level],
-                       **({"linearize_fn": lin} if lin is not None else {}))
+        opts_l = opts_per_level[level]
+        ch_l = channels_pyr[level]
+        # coarse levels: the one-kernel GN loop (see pose_estimator.py) —
+        # never under a custom (sharded) linearization, whose psums must run
+        # in XLA
+        if (lin is None and solver == "GaussNewton"
+                and level > max_test_level and gn.level_kernel_enabled()
+                and gn.level_kernel_supported(
+                    opts_l, ch_l.shape[0], ch_l.shape[1], ch_l.shape[2],
+                    templates[level].pixels.shape[1])):
+            st = gn.run_level_fused(templates[level], ch_l, cams[level], T,
+                                    opts_l)
+        else:
+            st = run_level(templates[level], ch_l, cams[level], T, opts_l,
+                           **({"linearize_fn": lin} if lin is not None
+                              else {}))
         # minNumPixelsToWork guard (branchless; reference types.h:352-357)
         enough = templates[level].num_valid >= min_points
         st = st._replace(T=jnp.where(enough, st.T, T),

@@ -79,8 +79,23 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
 
     finest = None
     for level in range(n_levels - 1, max_test_level - 1, -1):
-        st = run_level(templates[level], channels[level], cams[level], T,
-                       opts_per_level[level])
+        opts_l = opts_per_level[level]
+        ch_l = channels[level]
+        K_l = templates[level].pixels.shape[1]
+        # coarse levels go through the one-kernel GN (the whole IRLS loop in
+        # a single Pallas invocation — kills the ~0.3 ms/level scalar-chain
+        # overhead, docs/PERFORMANCE.md round 4); the finest level keeps the
+        # XLA loop (its weights/H feed Result, and its point count exceeds
+        # the kernel's VMEM-resident envelope)
+        if (solver == "GaussNewton" and level > max_test_level
+                and gn.level_kernel_enabled()
+                and gn.level_kernel_supported(opts_l, ch_l.shape[0],
+                                              ch_l.shape[1], ch_l.shape[2],
+                                              K_l)):
+            st = gn.run_level_fused(templates[level], ch_l, cams[level], T,
+                                    opts_l)
+        else:
+            st = run_level(templates[level], ch_l, cams[level], T, opts_l)
         enough = templates[level].num_valid >= min_points
         st = st._replace(T=jnp.where(enough, st.T, T),
                          num_iters=jnp.where(enough, st.num_iters, 0))

@@ -16,7 +16,7 @@ Interconnect constants (public figures, stated in the doc):
   - DCN: 200 Gbps NIC/host => 25 GB/s; ~25 us per collective launch.
 
 Usage: python scripts/collective_model.py [--step-ms 3.69]
-  (--step-ms = measured single-chip VO step from BENCH, default r03 271 Hz)
+  (--step-ms = measured single-chip VO step from BENCH, default r04 418.6 Hz)
 """
 from __future__ import annotations
 
@@ -51,13 +51,15 @@ DCN_GBPS = 25.0       # GB/s per host (200 Gbps NIC)
 DCN_LAT_US = 25.0     # per-collective launch latency across hosts
 
 
-def split_stats_by_axis(compiled_text: str):
+def split_stats_by_axis(compiled_text: str, chips_per_host: int = 4):
     """Split collective stats by mesh axis from the compiled HLO's
-    replica_groups: lane-CONTIGUOUS groups = the points axis (within one
-    host, rides ICI); STRIDED groups = the kf axis (across hosts, rides DCN).
-    Collectives without parsable groups are charged to DCN (conservative).
-    Round 3 charged DCN latency/bandwidth to every collective including the
-    within-host ones (ADVICE r3)."""
+    replica_groups.  A group rides ICI only when it stays inside ONE host's
+    contiguous chip block (device enumeration is host-major); strided groups
+    (the kf axis), groups larger than a host, and joint-axis all-device
+    groups cross hosts and are charged to DCN.  Collectives without parsable
+    groups are charged to DCN (conservative).  Round 3 charged DCN
+    latency/bandwidth to every collective including the within-host ones
+    (ADVICE r3)."""
     import re as _re
     dtype_bytes = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "s32": 4,
                    "u32": 4, "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8}
@@ -77,7 +79,12 @@ def split_stats_by_axis(compiled_text: str):
         target = dcn
         if gm:
             ids = [int(x) for x in gm.group(1).split(",") if x.strip()]
-            if len(ids) >= 2 and all(y - x == 1 for x, y in zip(ids, ids[1:])):
+            contiguous = (len(ids) >= 2
+                          and all(y - x == 1 for x, y in zip(ids, ids[1:])))
+            one_host = (len(ids) <= chips_per_host and ids
+                        and ids[0] // chips_per_host
+                        == ids[-1] // chips_per_host)
+            if contiguous and one_host:
                 target = ici
         ent = target.setdefault(op, [0, 0])
         ent[0] += 1
@@ -136,7 +143,7 @@ def ba_step_stats(m_keyframes: int = 8, capacity: int = 8192):
     runner = ba.make_sharded_ba_2d(mesh, opts, m_keyframes)
     txt = runner.lower(templates, ch, cam, poses).compile().as_text()
     stats = _collective_stats(txt)
-    ici, dcn = split_stats_by_axis(txt)
+    ici, dcn = split_stats_by_axis(txt, chips_per_host=4)
     # per-iteration share (scan of max_iterations; HLO reports the loop body
     # once, so stats already are per-iteration — note it in the doc)
     return stats, ici, dcn, opts.max_iterations
@@ -154,9 +161,10 @@ def efficiency_rows(step_ms: float, stats: dict, gbps, lat_us, ns):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--step-ms", type=float, default=3.69,
-                    help="measured single-chip VO step ms (BENCH r03)")
-    ap.add_argument("--lin-ms", type=float, default=0.78,
+    ap.add_argument("--step-ms", type=float, default=2.39,
+                    help="measured single-chip VO step ms (BENCH r04: "
+                         "418.6 Hz intensity)")
+    ap.add_argument("--lin-ms", type=float, default=0.55,
                     help="measured per-keyframe L0 linearize ms "
                          "(docs/PALLAS_TPU.json linearize_jnp_L0_intensity)")
     args = ap.parse_args()
@@ -195,7 +203,7 @@ def main():
             "counts/bytes below are extracted from the compiled HLO of the "
             "actual production programs on an 8-device mesh (identical "
             "module device kind); step times are the measured single-chip "
-            "device numbers (BENCH_r03, docs/PALLAS_TPU.json).\n\n")
+            "device numbers (BENCH r04, docs/PALLAS_TPU.json).\n\n")
         f.write("Model constants (public figures): v5e ICI 1.6 Tbps/chip "
                 f"aggregate -> {ICI_GBPS:.0f} GB/s/dir usable, "
                 f"{ICI_LAT_US:.0f} us/collective; DCN 200 Gbps/host -> "
@@ -212,7 +220,7 @@ def main():
                 f.write(f"| {name} | {op} | {cb['count']} | {cb['bytes']} |\n")
         f.write("\n## VO step: point axis over ICI (within one host)\n\n")
         f.write(f"Single-chip step: {args.step_ms:.2f} ms "
-                "(271 Hz intensity, BENCH_r03).\n\n")
+                "(418.6 Hz intensity, BENCH r04).\n\n")
         f.write("| chips | collective overhead (us) | step ms | strong-"
                 "scaling efficiency |\n|---|---|---|---|\n")
         for n, over, t, eff in vo_rows:
@@ -234,9 +242,13 @@ def main():
             "the per-frame point axis (25 collectives x 25 us DCN latency "
             "would dominate the sub-4 ms step); it is done on the windowed-"
             "BA keyframe axis, whose per-iteration cost is ~8x larger and "
-            "whose psum'd block system is a few tens of KB — the 2-hosts "
-            "rows above stay above the 80% BASELINE.md bar.  This division "
-            "of axes is the design encoded in parallel/multihost.py.\n")
+            "whose psum'd block system is a few tens of KB.  At the round-4 "
+            "compute speed the 2-host 4-chip row meets the 80% BASELINE.md "
+            "bar outright (87.9%); at 8 chips/host the faster linearize "
+            "leaves ~78%, restored above the bar by doubling the BA window "
+            "(M=16 halves the per-iteration overhead fraction) or batching "
+            "two GN iterations per cross-host sync.  This division of axes "
+            "is the design encoded in parallel/multihost.py.\n")
     print(f"wrote {out}")
     for n, over, t, eff in vo_rows:
         print(f"VO  x{n}: overhead {over:.0f}us step {t:.3f}ms eff "

@@ -334,3 +334,69 @@ class TestStackedGnKernel:
         assert np.abs(err).max() < 5e-3, err     # no accuracy cliff
         if n_oob > 0:                            # telemetry caught it
             assert int(st_fused.band_overflow) > 0
+
+
+class TestLevelGnKernel:
+    """Whole-GN-level kernel (ops/pallas/level_gn_kernel.py): the full IRLS
+    loop in one Pallas invocation must match gauss_newton.run."""
+
+    def test_matches_gn_run(self):
+        from test_gn import build_template, render_pair
+        from bpvo_tpu.core import se3
+        from bpvo_tpu.ops.pallas import level_gn_kernel as lk
+        from bpvo_tpu.solver import gauss_newton as gn
+
+        twist = [0.001, -0.002, 0.001, 0.01, -0.005, 0.015]
+        I0, I1, D, cam, T_true = render_pair(twist)
+        td, p = build_template(I0, D, cam, capacity=1024)
+        opts = gn.GNOptions(function_tolerance=1e-4, parameter_tolerance=1e-6,
+                            max_iterations=42)
+        assert lk.supports(I1.shape[0], I1.shape[1], 1, 1024, opts)
+
+        st = gn.run(td, jnp.asarray(I1)[None], cam, jnp.eye(4), opts)
+        run = lk.make_level_gn(I1.shape[0], I1.shape[1], 1, 1024, opts,
+                               interpret=INTERPRET)
+        Tk, stats = jax.jit(run)(
+            cam, td.points, td.valid, td.pixels, td.jacobians,
+            jnp.asarray(I1)[None], jnp.eye(4, dtype=jnp.float32),
+            jnp.asarray(1.0, jnp.float32), jnp.asarray(1e10, jnp.float32),
+            td.norm_scale, td.norm_center)
+        # same optimum (the in-kernel bisection median vs the histogram
+        # median walks a slightly different iterate path)
+        np.testing.assert_allclose(np.asarray(Tk), np.asarray(st.T),
+                                   atol=5e-4)
+        for T in (Tk, st.T):
+            err = np.asarray(se3.log(jnp.asarray(
+                np.asarray(T) @ np.linalg.inv(T_true), jnp.float32)))
+            assert np.abs(err).max() < 5e-3, err
+        assert int(stats[0]) >= 1            # iterated
+        assert stats[6] > 0.5                # converged
+        assert int(stats[3]) in (1, 2, 3)    # tolerance-based exit
+
+    def test_full_vo_with_level_kernel(self, monkeypatch):
+        """DeviceVO with the coarse-level kernel forced matches the XLA-loop
+        pipeline's accuracy on a known-motion sequence."""
+        from test_gn import H_IMG, W_IMG, make_cam
+        from test_odometry import make_sequence
+        from bpvo_tpu.core import se3
+        from bpvo_tpu import AlgorithmParameters
+        from bpvo_tpu.vo.device_vo import DeviceVO
+
+        monkeypatch.setenv("BPVO_LEVEL_KERNEL", "force")
+        step = [0, 0, 0, 0.004, 0, 0.008]
+        frames = make_sequence(step, 4)
+        cam = make_cam()
+        T_step = np.asarray(se3.exp(jnp.asarray(step, jnp.float32)))
+        p = AlgorithmParameters(minSaliency=2.0, numPyramidLevels=3,
+                                functionTolerance=1e-4,
+                                parameterTolerance=1e-6, maxIterations=50)
+        vo = DeviceVO(np.asarray(cam.K()), float(cam.baseline),
+                      (H_IMG, W_IMG), p)
+        for I, D in frames:
+            out = vo.add_frame(I, D)
+            if out is None:
+                continue
+            err = np.abs(np.asarray(se3.log(jnp.asarray(
+                np.asarray(out.pose) @ np.linalg.inv(T_step),
+                jnp.float32)))).max()
+            assert err < 2e-3, err
