@@ -400,3 +400,39 @@ class TestLevelGnKernel:
                 np.asarray(out.pose) @ np.linalg.inv(T_step),
                 jnp.float32)))).max()
             assert err < 2e-3, err
+
+    def test_matches_gn_run_multichannel(self):
+        """C>1 (BitPlanes-class) level kernel vs gauss_newton.run."""
+        from test_gn import build_template, render_pair
+        from bpvo_tpu.core import se3
+        from bpvo_tpu.ops.pallas import level_gn_kernel as lk
+        from bpvo_tpu.solver import gauss_newton as gn
+
+        twist = [0.0008, -0.001, 0.0012, 0.008, -0.004, 0.012]
+        I0, I1, D, cam, T_true = render_pair(twist)
+        td, p = build_template(I0, D, cam, capacity=1024)
+        # synthetic 3-channel stack (scaled copies exercise the stacked
+        # reduction; weights differ per channel through the shared sigma)
+        ch3 = jnp.stack([jnp.asarray(I1), jnp.asarray(I1) * 0.5,
+                         jnp.asarray(I1) * 2.0])
+        td3 = td._replace(
+            pixels=jnp.concatenate([td.pixels, td.pixels * 0.5,
+                                    td.pixels * 2.0]),
+            jacobians=jnp.concatenate([td.jacobians, td.jacobians * 0.5,
+                                       td.jacobians * 2.0]))
+        opts = gn.GNOptions(function_tolerance=1e-4, parameter_tolerance=1e-6,
+                            max_iterations=42)
+        assert lk.supports(I1.shape[0], I1.shape[1], 3, 1024, opts)
+
+        st = gn.run(td3, ch3, cam, jnp.eye(4), opts)
+        run = lk.make_level_gn(I1.shape[0], I1.shape[1], 3, 1024, opts,
+                               interpret=INTERPRET)
+        Tk, stats = jax.jit(run)(
+            cam, td3.points, td3.valid, td3.pixels, td3.jacobians, ch3,
+            jnp.eye(4, dtype=jnp.float32), jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(1e10, jnp.float32), td3.norm_scale, td3.norm_center)
+        np.testing.assert_allclose(np.asarray(Tk), np.asarray(st.T),
+                                   atol=5e-4)
+        err = np.asarray(se3.log(jnp.asarray(
+            np.asarray(Tk) @ np.linalg.inv(T_true), jnp.float32)))
+        assert np.abs(err).max() < 5e-3, err
