@@ -234,16 +234,11 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
         return jnp.where(n > 0, med, 0.0), n
 
     f32 = jnp.float32
-    eye = (f32(1), f32(0), f32(0), f32(0), f32(1), f32(0),
-           f32(0), f32(0), f32(1), f32(0), f32(0), f32(0))
-    T_init = tuple(T0_ref[i * 4 + j] for i in range(3) for j in range(3)) + \
-        tuple(T0_ref[i * 4 + 3] for i in range(3))
-    # reorder to (R row-major 9, t 3)
+    # pose scalars in (R row-major 9, t 3) order, from the row-major (16,) T0
     Tq = (T0_ref[0], T0_ref[1], T0_ref[2],
           T0_ref[4], T0_ref[5], T0_ref[6],
           T0_ref[8], T0_ref[9], T0_ref[10],
           T0_ref[3], T0_ref[7], T0_ref[11])
-    del T_init, eye
 
     big = f32(jnp.inf)
     init = (jnp.asarray(0, jnp.int32),        # 0 it
