@@ -153,13 +153,20 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
     val = pts_ref[3:4, :]
 
     flat_img = img_ref[:, :, :].reshape(C * Hp, Wp)
-    cid = jax.lax.broadcasted_iota(jnp.int32, (Wp, Kp), 0)
-    rid = jax.lax.broadcasted_iota(jnp.int32, (Hp, Kp), 0)
+    # the sampling column-mix is chunked along points: the (Wp, chunk) 2-hot
+    # and (C*Hp, chunk) colmix are the only large intermediates, so the
+    # chunk size caps VMEM while I1/residuals/reductions stay full-width
+    ck = Kp
+    while (Wp + C * Hp) * ck * 4 > 6 * 1024 * 1024:
+        ck //= 2
+    n_chunks = Kp // ck
+    cid = jax.lax.broadcasted_iota(jnp.int32, (Wp, ck), 0)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (Hp, ck), 0)
     rid8 = jax.lax.broadcasted_iota(jnp.int32, (8, Kp), 0)
 
     def linearize(Ts):
         """One linearization at pose scalars Ts = (R 9, t 3); returns
-        (block8 (8,8) array, ok (1,Kp), r0 (1,Kp))."""
+        (ok (1,Kp), okf, rs: per-channel (1,Kp) residuals)."""
         (r00, r01, r02, r10, r11, r12, r20, r21, r22, tx, ty, tz) = Ts
         Xc = r00 * X + r01 * Y + r02 * Zp + tx
         Yc = r10 * X + r11 * Y + r12 * Zp + ty
@@ -179,18 +186,39 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
         if cosine:
             xf = (1.0 - jnp.cos(xf * jnp.pi)) * 0.5
             yf = (1.0 - jnp.cos(yf * jnp.pi)) * 0.5
-        onehot = (jnp.where(cid == xii, 1.0 - xf, 0.0)
-                  + jnp.where(cid == xii + 1, xf, 0.0))
-        colmix = jax.lax.dot_general(
-            flat_img, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (C*Hp, Kp)
-        row_w = (jnp.where(rid == yii, 1.0 - yf, 0.0)
-                 + jnp.where(rid == yii + 1, yf, 0.0))   # (Hp, Kp)
-        cm3 = colmix.reshape(C, Hp, Kp)
+
+        # per-chunk coordinate rows: a lane-slice of a (1, Kp) vector cannot
+        # be re-broadcast on Mosaic ("Invalid input layout", probed on
+        # device), but a reshape to (n_chunks, ck) followed by a static
+        # sublane-row take can
+        if n_chunks > 1:
+            xiic = xii.reshape(n_chunks, ck)
+            xfc = xf.reshape(n_chunks, ck)
+            yiic = yii.reshape(n_chunks, ck)
+            yfc = yf.reshape(n_chunks, ck)
+        else:
+            xiic, xfc, yiic, yfc = xii, xf, yii, yf
+
+        I1_chunks = [[] for _ in range(C)]
+        for q in range(n_chunks):
+            xq, fq = xiic[q:q + 1, :], xfc[q:q + 1, :]
+            yq, gq = yiic[q:q + 1, :], yfc[q:q + 1, :]
+            onehot = (jnp.where(cid == xq, 1.0 - fq, 0.0)
+                      + jnp.where(cid == xq + 1, fq, 0.0))
+            colmix = jax.lax.dot_general(
+                flat_img, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (C*Hp, ck)
+            row_w = (jnp.where(rid == yq, 1.0 - gq, 0.0)
+                     + jnp.where(rid == yq + 1, gq, 0.0))
+            cm3 = colmix.reshape(C, Hp, ck)
+            for c in range(C):
+                I1_chunks[c].append(
+                    jnp.sum(cm3[c] * row_w, axis=0, keepdims=True))
 
         rs = []
         for c in range(C):
-            I1 = jnp.sum(cm3[c] * row_w, axis=0, keepdims=True)  # (1, Kp)
+            I1 = (jnp.concatenate(I1_chunks[c], axis=1) if n_chunks > 1
+                  else I1_chunks[c][0])                  # (1, Kp)
             pix = jp_ref[c, 6:7, :]
             rs.append((I1 - pix) * okf)
         return ok, okf, rs
@@ -381,6 +409,12 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
 # VMEM image budget for "whole image resident" (bytes); coarse KITTI levels
 # are 0.1-4 MB, far below this
 MAX_IMG_BYTES = 6 * 1024 * 1024
+# Point budget.  The sampling loop is chunked (see _kernel) and K=4096 is
+# parity-correct in interpret mode, but the C=8 L1 instance was MEASURED to
+# exceed Mosaic's 16 MB scoped-VMEM stack on device (21.06 MB: the unrolled
+# chunk loop keeps several colmix/one-hot buffers live at once), so the
+# production envelope stays at the L2/L3 levels; L1 (K=4096) keeps the
+# banded stacked kernel + XLA loop.
 MAX_POINTS = 2048
 
 

@@ -436,3 +436,29 @@ class TestLevelGnKernel:
         err = np.asarray(se3.log(jnp.asarray(
             np.asarray(Tk) @ np.linalg.inv(T_true), jnp.float32)))
         assert np.abs(err).max() < 5e-3, err
+
+    def test_chunked_sampling_parity_k4096(self):
+        """The chunked sampling path (triggered when (Wp + C*Hp)*K exceeds
+        the VMEM budget) must match gauss_newton.run — exercised directly at
+        K=4096, beyond the production supports() envelope (the C=8 L1
+        instance measured over Mosaic's scoped-VMEM limit on device, see
+        MAX_POINTS)."""
+        from test_gn import build_template, render_pair
+        from bpvo_tpu.ops.pallas import level_gn_kernel as lk
+        from bpvo_tpu.solver import gauss_newton as gn
+
+        twist = [0.001, -0.002, 0.001, 0.01, -0.005, 0.015]
+        I0, I1, D, cam, T_true = render_pair(twist)
+        td, p = build_template(I0, D, cam, capacity=4096)
+        opts = gn.GNOptions(function_tolerance=1e-4, parameter_tolerance=1e-6,
+                            max_iterations=42)
+        st = gn.run(td, jnp.asarray(I1)[None], cam, jnp.eye(4), opts)
+        run = lk.make_level_gn(I1.shape[0], I1.shape[1], 1, 4096, opts,
+                               interpret=INTERPRET)
+        Tk, stats = jax.jit(run)(
+            cam, td.points, td.valid, td.pixels, td.jacobians,
+            jnp.asarray(I1)[None], jnp.eye(4, dtype=jnp.float32),
+            jnp.asarray(1.0, jnp.float32), jnp.asarray(1e10, jnp.float32),
+            td.norm_scale, td.norm_center)
+        np.testing.assert_allclose(np.asarray(Tk), np.asarray(st.T),
+                                   atol=5e-4)
