@@ -80,10 +80,10 @@ def select_pixels(saliency, disparity, capacity: int, *,
     # re-sort the selected pixels into raster order: the per-iteration warped
     # gathers then hit the image nearly sequentially, which coalesces far
     # better than saliency order (the reference's scan-order selection had
-    # this property for free, template_data.cc:55-66)
+    # this property for free, template_data.cc:55-66).  After the sort the
+    # nv valid entries occupy positions [0, nv) (invalid keys map to
+    # INT_MAX), which the closed-form balance below relies on.
     order = jnp.argsort(jnp.where(valid, idx, jnp.iinfo(jnp.int32).max))
-    idx = idx[order]
-    valid = valid[order]
     # Block-balanced redistribution: spread the nv valid points evenly over
     # the K capacity slots (still in raster order, invalid padding
     # interleaved).  The fused Pallas kernel (ops/pallas/gn_kernel.py) tiles
@@ -94,23 +94,24 @@ def select_pixels(saliency, disparity, capacity: int, *,
     # a 48-row band -> ~6% of points invalidated).  Even fill keeps every
     # chunk's span ~rows/NB regardless of fill.  All downstream consumers
     # reduce over masked points, so the order change is free.
+    #
+    # The mapping dest(i) = i*K//nv is inverted in CLOSED FORM (round 4 —
+    # the scatter+cumsum inverse cost ~0.6 ms of the 1.25 ms selection):
+    # slots [0, j) contain ceil(j*nv/K) of the valid entries, so slot j is
+    # occupied iff that count increases at j+1, its source is that count,
+    # and free slots take the invalid tail in order.
     K = capacity
-    # i * K must not overflow int32: K <= 46340 keeps i*K < 2^31.  Current
-    # capacities top out at 16384; widen to int64 before raising this bound
-    # (ADVICE round 3).
-    assert K <= 46340, "block-balance dest computation would overflow int32"
-    i = jnp.arange(K)
-    nv = jnp.sum(valid)
-    nv_safe = jnp.maximum(nv, 1)
-    # strictly-increasing distinct dest slots for the first nv entries
-    dest = jnp.where(i < nv, (i * K) // nv_safe, K)
-    occupied = jnp.zeros((K + 1,), bool).at[dest].set(True)[:K]
-    src_valid = jnp.zeros((K,), jnp.int32).at[dest].set(
-        i.astype(jnp.int32), mode="drop")
-    free_rank = (jnp.cumsum(~occupied) - 1).astype(jnp.int32)
-    src = jnp.where(occupied, src_valid, nv.astype(jnp.int32) + free_rank)
-    idx = idx[src]
-    valid = valid[src]
+    # j * nv must not overflow int32: K <= 46340 keeps it < 2^31.  Widen to
+    # int64 before raising this bound (ADVICE round 3).
+    assert K <= 46340, "block-balance slot computation would overflow int32"
+    j = jnp.arange(K)
+    nv = jnp.sum(valid).astype(jnp.int32)
+    occ_before = (j * nv + K - 1) // K          # ceil(j*nv/K), <= nv
+    occ_next = ((j + 1) * nv + K - 1) // K
+    occupied = occ_next > occ_before
+    src = jnp.where(occupied, occ_before, nv + (j - occ_before))
+    idx = idx[order[src]]
+    valid = occupied
     rows = (idx // W).astype(jnp.int32)
     cols = (idx % W).astype(jnp.int32)
     d = disparity.reshape(-1)[idx]
