@@ -152,13 +152,17 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
     Zp = pts_ref[2:3, :]
     val = pts_ref[3:4, :]
 
-    flat_img = img_ref[:, :, :].reshape(C * Hp, Wp)
     # the sampling column-mix is chunked along points: the (Wp, chunk) 2-hot
     # and (C*Hp, chunk) colmix are the only large intermediates, so the
-    # chunk size caps VMEM while I1/residuals/reductions stay full-width
+    # chunk size caps VMEM while I1/residuals/reductions stay full-width.
+    # Shapes that fit 6 MB unchunked keep their (validated) single-pass
+    # program; larger shapes shrink the chunk until 3 MB — at the C=8 L1
+    # shape the tighter budget is what fits the whole kernel under Mosaic's
+    # 16 MB scoped-VMEM stack
     ck = Kp
-    while (Wp + C * Hp) * ck * 4 > 6 * 1024 * 1024:
-        ck //= 2
+    if (Wp + C * Hp) * Kp * 4 > 6 * 1024 * 1024:
+        while (Wp + C * Hp) * ck * 4 > 3 * 1024 * 1024:
+            ck //= 2
     n_chunks = Kp // ck
     cid = jax.lax.broadcasted_iota(jnp.int32, (Wp, ck), 0)
     rid = jax.lax.broadcasted_iota(jnp.int32, (Hp, ck), 0)
@@ -187,60 +191,110 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
             xf = (1.0 - jnp.cos(xf * jnp.pi)) * 0.5
             yf = (1.0 - jnp.cos(yf * jnp.pi)) * 0.5
 
-        # per-chunk coordinate rows: a lane-slice of a (1, Kp) vector cannot
-        # be re-broadcast on Mosaic ("Invalid input layout", probed on
-        # device), but a reshape to (n_chunks, ck) followed by a static
-        # sublane-row take can
-        if n_chunks > 1:
-            xiic = xii.reshape(n_chunks, ck)
-            xfc = xf.reshape(n_chunks, ck)
-            yiic = yii.reshape(n_chunks, ck)
-            yfc = yf.reshape(n_chunks, ck)
-        else:
-            xiic, xfc, yiic, yfc = xii, xf, yii, yf
-
-        I1_chunks = [[] for _ in range(C)]
-        for q in range(n_chunks):
-            xq, fq = xiic[q:q + 1, :], xfc[q:q + 1, :]
-            yq, gq = yiic[q:q + 1, :], yfc[q:q + 1, :]
-            onehot = (jnp.where(cid == xq, 1.0 - fq, 0.0)
-                      + jnp.where(cid == xq + 1, fq, 0.0))
+        if n_chunks == 1:
+            onehot = (jnp.where(cid == xii, 1.0 - xf, 0.0)
+                      + jnp.where(cid == xii + 1, xf, 0.0))
+            flat_img = img_ref[:, :, :].reshape(C * Hp, Wp)
             colmix = jax.lax.dot_general(
                 flat_img, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (C*Hp, ck)
-            row_w = (jnp.where(rid == yq, 1.0 - gq, 0.0)
-                     + jnp.where(rid == yq + 1, gq, 0.0))
-            cm3 = colmix.reshape(C, Hp, ck)
-            for c in range(C):
-                I1_chunks[c].append(
-                    jnp.sum(cm3[c] * row_w, axis=0, keepdims=True))
+                preferred_element_type=jnp.float32)      # (C*Hp, Kp)
+            row_w = (jnp.where(rid == yii, 1.0 - yf, 0.0)
+                     + jnp.where(rid == yii + 1, yf, 0.0))
+            cm3 = colmix.reshape(C, Hp, Kp)
+            I1s = [jnp.sum(cm3[c] * row_w, axis=0, keepdims=True)
+                   for c in range(C)]
+        else:
+            # CHUNKED sampling as a lax.fori loop so Mosaic provably reuses
+            # the (Wp, ck)/(C*Hp, ck) buffers across chunks — the unrolled
+            # python loop kept several alive and blew the 16 MB scoped-VMEM
+            # stack at the C=8 L1 shape (21.06 MB, probed on device).
+            # A lane-slice of a (1, Kp) vector cannot be re-broadcast
+            # ("Invalid input layout") and a sublane dynamic-slice lacks the
+            # multiple-of-8 proof, so the chunk's coordinate row is taken by
+            # an iota-compare reduction over the (n_chunks, ck) reshape, and
+            # the chunk's I1 contribution lands back in (1, Kp) via a static
+            # lane-tile masked by lane//ck == q.
+            xiic = xii.reshape(n_chunks, ck).astype(jnp.float32)
+            xfc = xf.reshape(n_chunks, ck)
+            yiic = yii.reshape(n_chunks, ck).astype(jnp.float32)
+            yfc = yf.reshape(n_chunks, ck)
+            rows_iota = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, ck), 0)
+            lane_chunk = (jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
+                          // ck)
+
+            def take_row(a, q):
+                return jnp.sum(jnp.where(rows_iota == q, a, 0.0), axis=0,
+                               keepdims=True)            # (1, ck)
+
+            def chunk_body(q, I1_acc):
+                xq = take_row(xiic, q).astype(jnp.int32)
+                fq = take_row(xfc, q)
+                yq = take_row(yiic, q).astype(jnp.int32)
+                gq = take_row(yfc, q)
+                onehot = (jnp.where(cid == xq, 1.0 - fq, 0.0)
+                          + jnp.where(cid == xq + 1, fq, 0.0))
+                row_w = (jnp.where(rid == yq, 1.0 - gq, 0.0)
+                         + jnp.where(rid == yq + 1, gq, 0.0))
+                mask = (lane_chunk == q).astype(jnp.float32)  # (1, Kp)
+                # per-channel dot against the ref slice: a (C*Hp, Wp) image
+                # VALUE (a 3.9 MB reshape copy at the L1 shape) never exists
+                parts = []
+                for c in range(C):
+                    colmix_c = jax.lax.dot_general(
+                        img_ref[c], onehot,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (Hp, ck)
+                    i1c = jnp.sum(colmix_c * row_w, axis=0,
+                                  keepdims=True)         # (1, ck)
+                    tiled = jnp.concatenate([i1c] * n_chunks, axis=1)
+                    parts.append(tiled * mask)
+                return I1_acc + jnp.concatenate(parts, axis=0)
+
+            I1_full = jax.lax.fori_loop(
+                0, n_chunks, chunk_body, jnp.zeros((C, Kp), jnp.float32))
+            I1s = [I1_full[c:c + 1, :] for c in range(C)]
 
         rs = []
         for c in range(C):
-            I1 = (jnp.concatenate(I1_chunks[c], axis=1) if n_chunks > 1
-                  else I1_chunks[c][0])                  # (1, Kp)
             pix = jp_ref[c, 6:7, :]
-            rs.append((I1 - pix) * okf)
+            rs.append((I1s[c] - pix) * okf)
         return ok, okf, rs
 
     def reduce_system(rs, okf, sigma):
-        lhs_list, rhs_list = [], []
-        w_sum_sq = None
-        for c in range(C):
+        def channel_ops(c):
             rc = rs[c]
             wc = _weight(rc / sigma, loss) * okf              # (1, Kp)
             jpc = jp_ref[c]                                   # (8, Kp)
             rb = jnp.broadcast_to(rc, (8, Kp))
             wb = jnp.broadcast_to(wc, (8, Kp))
-            rhs_list.append(jnp.where(rid8 >= 6, rb, jpc))
-            lhs_list.append(
-                jnp.where(rid8 == 7, 0.0,
-                          jnp.where(rid8 == 6, rb, jpc)) * wb)
-        lhs = jnp.concatenate(lhs_list, axis=1) if C > 1 else lhs_list[0]
-        rhs = jnp.concatenate(rhs_list, axis=1) if C > 1 else rhs_list[0]
-        return jax.lax.dot_general(
-            lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (8, 8)
+            rhs = jnp.where(rid8 >= 6, rb, jpc)
+            lhs = jnp.where(rid8 == 7, 0.0,
+                            jnp.where(rid8 == 6, rb, jpc)) * wb
+            return lhs, rhs
+
+        if C * Kp <= 16384:
+            # small systems: single lane-concat MXU pass (the validated
+            # L2/L3 program shape — kept byte-identical)
+            pieces = [channel_ops(c) for c in range(C)]
+            lhs = (jnp.concatenate([p[0] for p in pieces], axis=1)
+                   if C > 1 else pieces[0][0])
+            rhs = (jnp.concatenate([p[1] for p in pieces], axis=1)
+                   if C > 1 else pieces[0][1])
+            return jax.lax.dot_general(
+                lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (8, 8)
+        # large systems (the K=4096 C=8 L1 shape): accumulate per-channel
+        # dots so only one (8, Kp) lhs/rhs pair is live at a time — the
+        # concat form kept all 2C pieces + the 2 concats alive and blew the
+        # scoped-VMEM stack (measured 21 MB vs the 16 MB limit)
+        block8 = None
+        for c in range(C):
+            lhs, rhs = channel_ops(c)
+            d = jax.lax.dot_general(
+                lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            block8 = d if block8 is None else block8 + d
+        return block8
 
     def median_bisect(r0_abs, ok):
         """Median of |r0| over ok via 16-step count bisection."""
@@ -409,12 +463,13 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
 # VMEM image budget for "whole image resident" (bytes); coarse KITTI levels
 # are 0.1-4 MB, far below this
 MAX_IMG_BYTES = 6 * 1024 * 1024
-# Point budget.  The sampling loop is chunked (see _kernel) and K=4096 is
-# parity-correct in interpret mode, but the C=8 L1 instance was MEASURED to
-# exceed Mosaic's 16 MB scoped-VMEM stack on device (21.06 MB: the unrolled
-# chunk loop keeps several colmix/one-hot buffers live at once), so the
-# production envelope stays at the L2/L3 levels; L1 (K=4096) keeps the
-# banded stacked kernel + XLA loop.
+# Point budget.  K=4096 (the L1 level) WORKS on device once the sampling is
+# a lax.fori chunk body with per-channel dots (the full-image value copy was
+# the VMEM blowup: 21 MB vs the 16 MB scoped stack), but it was MEASURED
+# SLOWER end-to-end than the banded stacked kernel + XLA loop it replaces
+# (BitPlanes 262.9 vs 326.2 Hz: 8 chunks x 8 per-channel small matmuls per
+# iteration plus fori overhead exceed the scalar-chain savings).  The
+# production envelope therefore stays at the L2/L3 levels.
 MAX_POINTS = 2048
 
 
