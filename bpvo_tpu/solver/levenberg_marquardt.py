@@ -75,8 +75,10 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
             tdata, channels, cam, T_new, opts.interp, warp=opts.warp)
         w2 = mestimator.compute_weights(opts.loss, r_new, valid_new[None, :],
                                         st.scale)
-        H2, g2, f_sq = linear_system.build(tdata.jacobians, r_new, w2)
-        f_new = jnp.sqrt(f_sq)
+        # the candidate decision needs only the weighted COST, not H/g —
+        # building the full J^T W J here doubled the per-iteration reduction
+        # work for quantities that were immediately discarded (ADVICE r4)
+        f_new = jnp.sqrt(jnp.sum(w2 * r_new * r_new))
         # sigma update for the NEXT cycle, applied only if this step lands
         do_est = gn._sigma_unstable(st.delta_scale, st.scale, opts)
         new_sigma = jax.lax.cond(
@@ -90,7 +92,10 @@ def run(tdata, channels, cam: warp_mod.CameraModel, T_init,
         # sigma that cycle will use: when sigma moves on an accepted step,
         # re-weight the (already computed) residuals under new_sigma — else
         # the next rho again compares costs across weightings and a shrinking
-        # sigma mass-rejects every step (measured: 133 iters/frame intensity)
+        # sigma mass-rejects every step (measured: 133 iters/frame intensity).
+        # When sigma did not move (the stable-skip steady state) w_carry ==
+        # w2, so this is the ONE full J^T W J build per iteration (the
+        # weights recompute is elementwise noise next to it).
         w_carry = mestimator.compute_weights(opts.loss, r_new,
                                              valid_new[None, :], new_sigma)
         H_carry, g_carry, fc_sq = linear_system.build(tdata.jacobians, r_new,

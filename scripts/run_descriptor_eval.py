@@ -13,6 +13,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# isolate solver differences from approximate-top-k recall noise in the
+# head-to-head tables (ADVICE r4); redundant on CPU, load-bearing on TPU
+os.environ.setdefault("BPVO_EXACT_TOPK", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

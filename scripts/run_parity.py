@@ -27,6 +27,10 @@ import time
 # CPU harness: pin before AND after jax import (the container's TPU plugin
 # overrides the env var alone; see .claude/skills/verify)
 os.environ["JAX_PLATFORMS"] = "cpu"
+# head-to-head accuracy comparisons must isolate solver/kernel differences
+# from approximate-top-k selection recall noise (ADVICE r4); CPU always uses
+# the exact path, but pin it so a TPU-run parity stays exact too
+os.environ.setdefault("BPVO_EXACT_TOPK", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

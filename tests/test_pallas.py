@@ -356,7 +356,7 @@ class TestLevelGnKernel:
         st = gn.run(td, jnp.asarray(I1)[None], cam, jnp.eye(4), opts)
         run = lk.make_level_gn(I1.shape[0], I1.shape[1], 1, 1024, opts,
                                interpret=INTERPRET)
-        Tk, stats = jax.jit(run)(
+        Tk, stats, _H, _g, _w = jax.jit(run)(
             cam, td.points, td.valid, td.pixels, td.jacobians,
             jnp.asarray(I1)[None], jnp.eye(4, dtype=jnp.float32),
             jnp.asarray(1.0, jnp.float32), jnp.asarray(1e10, jnp.float32),
@@ -372,6 +372,89 @@ class TestLevelGnKernel:
         assert int(stats[0]) >= 1            # iterated
         assert stats[6] > 0.5                # converged
         assert int(stats[3]) in (1, 2, 3)    # tolerance-based exit
+
+    def test_sigma_matches_mestimator(self):
+        """stats[4] (the in-kernel bisection-median sigma) must match
+        mestimator.estimate_scale on the same residuals — guards the round-4
+        swapped-interval bug where the bisection collapsed to (mid, mid),
+        returned median 0 and the degenerate clamp silently pinned sigma to
+        1.0 (robust weighting disabled) on the default TPU path."""
+        from test_gn import build_template, render_pair
+        from bpvo_tpu.ops.pallas import level_gn_kernel as lk
+        from bpvo_tpu.solver import gauss_newton as gn, mestimator
+        from bpvo_tpu.vo import template_data as td_mod
+        from bpvo_tpu.types import InterpolationType
+
+        twist = [0.001, -0.002, 0.001, 0.01, -0.005, 0.015]
+        I0, I1, D, cam, T_true = render_pair(twist)
+        td, p = build_template(I0, D, cam, capacity=1024)
+        # one iteration so sigma at exit is exactly the estimate from the
+        # initial (T0 = identity) residuals
+        opts = gn.GNOptions(function_tolerance=1e-4, parameter_tolerance=1e-6,
+                            max_iterations=1)
+        run = lk.make_level_gn(I1.shape[0], I1.shape[1], 1, 1024, opts,
+                               interpret=INTERPRET)
+        _, stats, _H, _g, _w = jax.jit(run)(
+            cam, td.points, td.valid, td.pixels, td.jacobians,
+            jnp.asarray(I1)[None], jnp.eye(4, dtype=jnp.float32),
+            jnp.asarray(1.0, jnp.float32), jnp.asarray(1e10, jnp.float32),
+            td.norm_scale, td.norm_center)
+        sigma_kernel = float(stats[4])
+
+        r, valid = td_mod.compute_residuals(
+            td, jnp.asarray(I1)[None], cam, jnp.eye(4),
+            InterpolationType.LINEAR)
+        sigma_ref = float(mestimator.estimate_scale(
+            r[0], valid, use_histogram=False))
+        # the residuals at identity must have a genuinely nontrivial median
+        # (otherwise this test proves nothing about the estimator)
+        assert sigma_ref > 5e-3, sigma_ref
+        assert abs(sigma_ref - 1.0) > 0.1, sigma_ref
+        # bisect resolution rmax/2^16 + even-n order-stat averaging => tight
+        # but not exact agreement
+        np.testing.assert_allclose(sigma_kernel, sigma_ref, rtol=2e-2)
+
+    def test_fused_state_is_honest(self):
+        """run_level_fused must return REAL H / g / weights (the last
+        linearization's), not the round-4 zero/identity sentinels — any
+        consumer reading them from a coarse level must see the same numbers
+        the XLA path would produce (VERDICT r4 item 8)."""
+        from test_gn import build_template, render_pair
+        from bpvo_tpu.solver import gauss_newton as gn, linear_system, \
+            mestimator
+        from bpvo_tpu.vo import template_data as td_mod
+        from bpvo_tpu.types import InterpolationType, LossFunctionType
+
+        twist = [0.001, -0.002, 0.001, 0.01, -0.005, 0.015]
+        I0, I1, D, cam, T_true = render_pair(twist)
+        td, p = build_template(I0, D, cam, capacity=1024)
+        # one iteration: the exported H/g/w are then exactly the T0-identity
+        # linearization, reproducible bit-for-bit by the XLA path
+        opts = gn.GNOptions(function_tolerance=1e-4, parameter_tolerance=1e-6,
+                            max_iterations=1)
+        st = gn.run_level_fused(td, jnp.asarray(I1)[None], cam, jnp.eye(4),
+                                opts)
+
+        r, valid = td_mod.compute_residuals(
+            td, jnp.asarray(I1)[None], cam, jnp.eye(4),
+            InterpolationType.LINEAR)
+        # use the kernel's own sigma so the comparison isolates the H/g/w
+        # export from the (bisect vs histogram) median difference
+        w_ref = mestimator.compute_weights(LossFunctionType.TUKEY, r,
+                                           valid[None, :], st.scale)
+        H_ref, g_ref, _ = linear_system.build(td.jacobians, r, w_ref)
+
+        assert np.abs(np.asarray(st.weights)).max() > 0.1
+        np.testing.assert_allclose(np.asarray(st.weights), np.asarray(w_ref),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(st.H), np.asarray(H_ref),
+                                   rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(st.g), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-2)
+        # g must be the true gradient vector with max|g| = the kernel's
+        # reported g_norm (previously g_norm was folded into g[0])
+        np.testing.assert_allclose(float(jnp.max(jnp.abs(st.g))),
+                                   float(jnp.max(jnp.abs(g_ref))), rtol=1e-3)
 
     def test_full_vo_with_level_kernel(self, monkeypatch):
         """DeviceVO with the coarse-level kernel forced matches the XLA-loop
@@ -427,7 +510,7 @@ class TestLevelGnKernel:
         st = gn.run(td3, ch3, cam, jnp.eye(4), opts)
         run = lk.make_level_gn(I1.shape[0], I1.shape[1], 3, 1024, opts,
                                interpret=INTERPRET)
-        Tk, stats = jax.jit(run)(
+        Tk, stats, _H, _g, _w = jax.jit(run)(
             cam, td3.points, td3.valid, td3.pixels, td3.jacobians, ch3,
             jnp.eye(4, dtype=jnp.float32), jnp.asarray(1.0, jnp.float32),
             jnp.asarray(1e10, jnp.float32), td3.norm_scale, td3.norm_center)
@@ -455,7 +538,7 @@ class TestLevelGnKernel:
         st = gn.run(td, jnp.asarray(I1)[None], cam, jnp.eye(4), opts)
         run = lk.make_level_gn(I1.shape[0], I1.shape[1], 1, 4096, opts,
                                interpret=INTERPRET)
-        Tk, stats = jax.jit(run)(
+        Tk, stats, _H, _g, _w = jax.jit(run)(
             cam, td.points, td.valid, td.pixels, td.jacobians,
             jnp.asarray(I1)[None], jnp.eye(4, dtype=jnp.float32),
             jnp.asarray(1.0, jnp.float32), jnp.asarray(1e10, jnp.float32),
