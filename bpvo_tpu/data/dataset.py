@@ -210,6 +210,35 @@ def create_dataset(conf) -> Dataset:
     if name == "synthetic_occluder":
         from bpvo_tpu.data.synthetic import SyntheticOccluderDataset
         return SyntheticOccluderDataset.from_config(cf)
+    if name == "synthetic_stereo":
+        from bpvo_tpu.data.synthetic import SyntheticStereoPlaneDataset
+        return SyntheticStereoPlaneDataset.from_config(cf)
+    if name == "stereo":
+        # generic file-based stereo sequence (reference StereoDataset,
+        # dataset.cc:103-135): LeftImageFormat/RightImageFormat printf or
+        # glob patterns + StereoAlgorithm config keys
+        from bpvo_tpu.data.stereo import create_stereo_algorithm
+        from bpvo_tpu.data.tunnel import load_calibration_file
+        root = _expand(cf.get("DataSetRootDirectory", "", str))
+        calib_fn = cf.get("CalibrationFile", "", str)
+        if calib_fn:
+            calib = load_calibration_file(calib_fn)
+        else:
+            fx = cf.get("fx", 0.0, float)
+            K = np.array([[fx, 0, cf.get("cx", 0.0, float)],
+                          [0, cf.get("fy", fx, float),
+                           cf.get("cy", 0.0, float)],
+                          [0, 0, 1]], np.float32)
+            calib = StereoCalibration(K=K, baseline=cf.get("baseline", 0.0,
+                                                           float))
+        first = cf.get("FirstFrameNumber", 0, int)
+        return StereoDataset(
+            FileSequence(root, cf.get("LeftImageFormat", "left/%06d.png",
+                                      str), first),
+            FileSequence(root, cf.get("RightImageFormat", "right/%06d.png",
+                                      str), first),
+            calib, create_stereo_algorithm(cf),
+            scale_by=cf.get("ScaleBy", 1, int))
     if name == "disparity":
         # generic precomputed-disparity sequence (reference DisparityDataset,
         # dataset.cc:39-92): LeftImageFormat/DisparityMapFormat printf

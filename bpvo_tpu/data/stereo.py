@@ -172,6 +172,13 @@ class TpuBlockMatching(StereoAlgorithm):
                             self._radius, self._uniq, self._subpixel, self._lr)
         return np.asarray(d)
 
+    def as_fn(self):
+        """Jittable ``(left, right) -> disparity`` closure for the
+        device-resident keyframe-rate stereo path (DeviceVO stereo_fn)."""
+        D, r, u = self._D, self._radius, self._uniq
+        sp, lr = self._subpixel, self._lr
+        return lambda L, R: _block_matching(L, R, D, r, u, sp, lr)
+
 
 # ---------------------------------------------------------------------------
 # TPU SGM: census-based matching cost + multi-direction scanline aggregation
@@ -297,6 +304,12 @@ class TpuSGM(StereoAlgorithm):
         d = _sgm(jnp.asarray(left), jnp.asarray(right), self._D, self._p1,
                  self._p2, self._use_pallas)
         return np.asarray(d)
+
+    def as_fn(self):
+        """Jittable ``(left, right) -> disparity`` closure (DeviceVO
+        stereo_fn): SGM runs inside the VO step's keyframe branch."""
+        D, p1, p2, up = self._D, self._p1, self._p2, self._use_pallas
+        return lambda L, R: _sgm(L, R, D, p1, p2, up)
 
 
 def create_stereo_algorithm(cf: ConfigFile) -> StereoAlgorithm:

@@ -125,6 +125,30 @@ class SyntheticPlaneDataset(Dataset):
         D = (self._K[0, 0] * self._baseline / Z).astype(np.float32)
         return DatasetFrame(image=I, disparity=D, filename=f"synthetic/{i:06d}")
 
+    def right_image(self, i: int) -> Optional[np.ndarray]:
+        """Right-camera view of frame i, rendered analytically.
+
+        The right camera sits +baseline along x in the left frame, so a
+        point X in left-camera coords is X - [b, 0, 0] in right-camera
+        coords: T_right = Trans(-b) @ pose_at(i), and the plane homography
+        machinery renders the view exactly like the left one (no
+        resampling).  Together with ``get_frame`` this provides an exact
+        stereo pair whose true disparity is the returned GT disparity —
+        the fixture for StereoDataset-in-the-VO-loop tests (reference
+        utils/dataset.cc:103-135 runs a matcher on such pairs per frame)."""
+        if i >= self._n:
+            return None
+        T = self.pose_at(i).copy()
+        T[0, 3] -= self._baseline
+        K, uu, vv = self._K, self._uu, self._vv
+        R, t = T[:3, :3], T[:3, 3]
+        Hm = K @ (R + np.outer(t, self._n_pl) / self._d_pl) @ np.linalg.inv(K)
+        Hinv = np.linalg.inv(Hm)
+        w = Hinv[2, 0] * uu + Hinv[2, 1] * vv + Hinv[2, 2]
+        x0 = (Hinv[0, 0] * uu + Hinv[0, 1] * vv + Hinv[0, 2]) / w
+        y0 = (Hinv[1, 0] * uu + Hinv[1, 1] * vv + Hinv[1, 2]) / w
+        return self._texture(x0, y0).astype(np.float32)
+
     @property
     def calibration(self) -> StereoCalibration:
         return StereoCalibration(K=self._K.astype(np.float32),
@@ -408,6 +432,51 @@ class SyntheticIlluminationDataset(SyntheticPlaneDataset):
     @property
     def name(self):
         return "synthetic-illumination"
+
+
+class SyntheticStereoPlaneDataset(SyntheticPlaneDataset):
+    """Plane scene delivered as STEREO PAIRS run through a real matcher —
+    the synthetic analogue of the reference's StereoDataset operational mode
+    (utils/dataset.cc:103-135: imread left/right -> stereo_alg->run -> VO),
+    with exact GT disparity available for matcher-error diagnostics.
+
+    The returned frame's disparity comes from the configured
+    ``StereoAlgorithm`` (not GT), so any consumer exercises the full
+    stereo -> template -> VO chain."""
+
+    def __init__(self, *args, stereo_algorithm=None, **kw):
+        kw.setdefault("texture", "noise")
+        super().__init__(*args, **kw)
+        if stereo_algorithm is None:
+            from bpvo_tpu.data.stereo import TpuBlockMatching
+            stereo_algorithm = TpuBlockMatching(num_disparities=48,
+                                                sad_window=9)
+        self._stereo = stereo_algorithm
+
+    @classmethod
+    def from_config(cls, cf: ConfigFile) -> "SyntheticStereoPlaneDataset":
+        from bpvo_tpu.data.stereo import create_stereo_algorithm
+        return cls(rows=cf.get("SyntheticRows", 240, int),
+                   cols=cf.get("SyntheticCols", 320, int),
+                   n_frames=cf.get("SyntheticNumFrames", 100, int),
+                   baseline=cf.get("SyntheticBaseline", 0.5, float),
+                   stereo_algorithm=create_stereo_algorithm(cf))
+
+    def gt_disparity(self, i: int) -> Optional[np.ndarray]:
+        return super().get_frame(i).disparity if i < self._n else None
+
+    def get_frame(self, i: int) -> Optional[DatasetFrame]:
+        frame = super().get_frame(i)
+        if frame is None:
+            return None
+        R = self.right_image(i)
+        D = self._stereo.run(frame.image, R)
+        return DatasetFrame(image=frame.image, disparity=D,
+                            filename=f"synthetic_stereo/{i:06d}")
+
+    @property
+    def name(self):
+        return "synthetic-stereo-plane"
 
 
 def write_pfm(path: str, arr: np.ndarray) -> None:

@@ -53,6 +53,8 @@ class VOState(NamedTuple):
     templates: Tuple[td_mod.TemplateData, ...]
     prev_channels: Tuple[jnp.ndarray, ...]   # keyframe-candidate descriptor pyramid
     prev_disparity: jnp.ndarray              # candidate full-res disparity
+                                             # (or the (2,H,W) gray stereo
+                                             # pair in stereo_fn mode)
     has_prev: jnp.ndarray                    # () bool
     T_kf: jnp.ndarray                        # (4,4) initialization accumulator
     pose_world: jnp.ndarray                  # (4,4) camera-to-world trajectory
@@ -213,8 +215,19 @@ def _keyframe_reason(T_est, frac_good, p: AlgorithmParameters):
 def make_vo_step(p: AlgorithmParameters, cams, capacities,
                  opts_per_level: Tuple[gn.GNOptions, ...],
                  linearize_factory=None, build_templates_fn=None,
-                 count_reduce=None):
-    """Build the pure step function (state, image, disparity) -> (state, out).
+                 count_reduce=None, stereo_fn=None):
+    """Build the pure step function (state, image, aux) -> (state, out).
+
+    ``aux`` is the precomputed float disparity map by default; with
+    ``stereo_fn`` (a jittable ``(left, right) -> disparity``) it is the RIGHT
+    grayscale image and disparity is computed ON DEVICE **at keyframe rate**:
+    the matcher runs inside the keyframe ``lax.cond`` branch, on the frame
+    that actually becomes the keyframe (the candidate or the current one), so
+    non-keyframe frames pay zero stereo cost.  The reference's StereoDataset
+    runs its matcher on the host for EVERY frame (utils/dataset.cc:103-135)
+    but the disparity is only ever consumed by setTemplate — computing it
+    lazily at template rate produces bit-identical templates at ~1/4 the
+    stereo work (measured: docs/SGM_CALIBRATION.md stereo-in-the-loop).
 
     All configuration is closed over statically; the returned function is
     jit/scan/shard_map-compatible.  The three optional hooks let the
@@ -232,9 +245,16 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
             return _build_templates(channels_pyr, disparity, cams, p,
                                     capacities)
 
-    def step(state: VOState, image, disparity):
+    def step(state: VOState, image, aux):
         channels = _compute_channels_pyr(image.astype(jnp.float32), p, n_levels)
-        disparity = disparity.astype(jnp.float32)
+        if stereo_fn is None:
+            # aux IS the disparity; the carried candidate store holds it
+            disparity = aux.astype(jnp.float32)
+        else:
+            # aux is the right image; carry the (2, H, W) gray pair so the
+            # keyframe branch can run the matcher on the candidate frame
+            disparity = jnp.stack([image.astype(jnp.float32),
+                                   aux.astype(jnp.float32)])
 
         # constant-velocity warm start: predict this frame at
         # T_delta_prev @ T_kf (X_cur = T_delta X_prev = T_delta T_kf X_kf);
@@ -273,8 +293,11 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
             src_channels = jax.tree.map(
                 lambda a, b: jnp.where(has_prev, a, b),
                 state.prev_channels, channels)
-            src_disparity = jnp.where(has_prev, state.prev_disparity,
-                                      disparity)
+            src_store = jnp.where(has_prev, state.prev_disparity, disparity)
+            # stereo-in-the-loop: the matcher runs HERE, only on keyframe
+            # events, on the pair of the frame becoming the keyframe
+            src_disparity = (stereo_fn(src_store[0], src_store[1])
+                             if stereo_fn is not None else src_store)
             templates = build_templates_fn(src_channels, src_disparity)
             # re-estimation against the new keyframe; when the keyframe IS the
             # current frame this converges to ~identity in one iteration and
@@ -327,7 +350,11 @@ class DeviceVO:
     """
 
     def __init__(self, K, baseline: float, image_size,
-                 params: AlgorithmParameters = None):
+                 params: AlgorithmParameters = None, stereo_fn=None):
+        """``stereo_fn``: optional jittable ``(left, right) -> disparity``;
+        when given, the second argument of ``add_frame(s)`` is the RIGHT
+        grayscale image and disparity is computed on device at keyframe rate
+        (see make_vo_step)."""
         p = params or AlgorithmParameters()
         rows, cols = image_size
         if p.numPyramidLevels <= 0:
@@ -344,7 +371,9 @@ class DeviceVO:
         coarse = gn.GNOptions.from_params(p, coarse=True)
         self._opts = tuple(fine if l == p.maxTestLevel else coarse
                            for l in range(p.numPyramidLevels))
-        self._step = make_vo_step(p, self._cams, self._capacities, self._opts)
+        self._stereo_fn = stereo_fn
+        self._step = make_vo_step(p, self._cams, self._capacities, self._opts,
+                                  stereo_fn=stereo_fn)
         # donate the state pytree: templates/prev_channels are several MB and
         # pass through unchanged on non-keyframe steps — donation lets XLA
         # alias them instead of copying every frame
@@ -354,17 +383,23 @@ class DeviceVO:
         self.state: VOState = None
 
     # -- jitted helpers -------------------------------------------------
-    def _init_state(self, image, disparity):
+    def _init_state(self, image, aux):
         p = self._p
         channels = _compute_channels_pyr(
             jnp.asarray(image, jnp.float32), p, p.numPyramidLevels)
-        disparity = jnp.asarray(disparity, jnp.float32)
+        if self._stereo_fn is None:
+            disparity = jnp.asarray(aux, jnp.float32)
+            store = disparity
+        else:
+            store = jnp.stack([jnp.asarray(image, jnp.float32),
+                               jnp.asarray(aux, jnp.float32)])
+            disparity = self._stereo_fn(store[0], store[1])
         templates = _build_templates(channels, disparity, self._cams, p,
                                      self._capacities)
         td0 = templates[p.maxTestLevel]
         return VOState(
             templates=templates, prev_channels=channels,
-            prev_disparity=disparity, has_prev=jnp.asarray(False),
+            prev_disparity=store, has_prev=jnp.asarray(False),
             T_kf=jnp.eye(4, dtype=jnp.float32),
             pose_world=jnp.eye(4, dtype=jnp.float32),
             T_delta=jnp.eye(4, dtype=jnp.float32),
