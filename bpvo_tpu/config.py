@@ -201,6 +201,27 @@ class AlgorithmParameters:
     # smooth-motion intensity deployments where the iteration savings are
     # free.
     withMotionModel: bool = False
+    # Scope of the post-keyframe candidate re-estimation (vo.cc:178-188).
+    # That pass solves CANDIDATE -> CURRENT motion — always a single frame's
+    # step — while the coarse pyramid exists for the potentially large
+    # KEYFRAME -> CURRENT motion of the main estimate.  >= 0: start the
+    # re-estimate at this pyramid level (coarser levels skipped) and
+    # warm-start it from the already-measured candidate->current motion
+    # T_est @ inv(T_kf) behind the same coarse-cost acceptance gate as the
+    # motion model (the gate falls back to the reference's identity init
+    # when the measured motion probes worse).  -1 restores reference-exact
+    # semantics (full pyramid, identity init).  Measured on device (round
+    # 5, KITTI-shape profile, docs/KF_PROFILE_*.json): the re-estimate was
+    # ~2.0 (intensity) / 2.3 ms (BitPlanes) of the ~2.6 ms keyframe branch
+    # with iterations tolerance-floor-bound at EVERY level ([6,4,5,5]
+    # identical for identity and warm inits — a better init cannot pay;
+    # fewer levels can), and a warm-started BitPlanes L3 actually iterated
+    # MORE (14 vs 4: census coarse local basins, the round-4 motion-model
+    # finding) — which skipping coarse levels sidesteps.  Accuracy A/B
+    # (24-frame KITTI-half value-noise scene, CPU exact): intensity mean
+    # err 8.9e-5 vs 9.1e-5, BitPlanes 7.3e-3 vs 7.7e-3 (level-1 start vs
+    # full pyramid), same keyframe counts.
+    keyframeReestimateStartLevel: int = 1
     # Keyframe rotation test units.  True (default) = Euler magnitude in
     # DEGREES per the reference's documented contract (types.h:313-320
     # "Units: degrees").  False reproduces the reference IMPLEMENTATION,
@@ -274,6 +295,9 @@ class AlgorithmParameters:
                 "coarseToleranceScale", d.coarseToleranceScale, float),
             numShards=cf.get("numShards", d.numShards, int),
             withMotionModel=cf.get("withMotionModel", d.withMotionModel, bool),
+            keyframeReestimateStartLevel=cf.get(
+                "keyframeReestimateStartLevel",
+                d.keyframeReestimateStartLevel, int),
             rotationKeyframeInDegrees=cf.get(
                 "rotationKeyframeInDegrees", d.rotationKeyframeInDegrees, bool),
             poseEstimator=_parse_pose_estimator(

@@ -113,11 +113,16 @@ def _build_templates(channels_pyr, disparity, cams, p, capacities):
 def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
               max_test_level, good_threshold, min_points: int = 0,
               solver: str = "GaussNewton", linearize_factory=None,
-              count_reduce=None):
+              count_reduce=None, start_level=None):
     """``linearize_factory(level, tdata, channels, cam, opts)`` may return a
     custom linearize_fn (the distributed path injects a psum-reducing one);
-    ``count_reduce`` reduces scalar counts across shards (default identity)."""
+    ``count_reduce`` reduces scalar counts across shards (default identity).
+    ``start_level`` (static) starts the coarse-to-fine chain below the
+    coarsest level — the keyframe re-estimate's single-frame motion does not
+    need the full pyramid (keyframeReestimateStartLevel)."""
     n_levels = len(channels_pyr)
+    if start_level is None:
+        start_level = n_levels - 1
     T = T_init
     iters = [jnp.asarray(0, jnp.int32)] * n_levels
     fs = [jnp.asarray(0.0, jnp.float32)] * n_levels
@@ -128,7 +133,7 @@ def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
     else:
         run_level = gn.run
     finest = None
-    for level in range(n_levels - 1, max_test_level - 1, -1):
+    for level in range(start_level, max_test_level - 1, -1):
         lin = (linearize_factory(level, templates[level], channels_pyr[level],
                                  cams[level], opts_per_level[level])
                if linearize_factory is not None else None)
@@ -168,11 +173,11 @@ def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
             finest.weights, boverflow)
 
 
-def _coarse_cost(templates, channels_pyr, cams, T, opts):
-    """Mean squared residual over valid points at the COARSEST level: the
-    cheap probe for the warm-start acceptance gate (few hundred points, one
-    residual pass, no sigma/weights)."""
-    lvl = len(channels_pyr) - 1
+def _coarse_cost(templates, channels_pyr, cams, T, opts, level=None):
+    """Mean squared residual over valid points at a COARSE level (default:
+    coarsest): the cheap probe for the warm-start acceptance gate (few
+    hundred points, one residual pass, no sigma/weights)."""
+    lvl = len(channels_pyr) - 1 if level is None else level
     r, valid = td_mod.compute_residuals(templates[lvl], channels_pyr[lvl],
                                         cams[lvl], T, opts.interp,
                                         warp=opts.warp)
@@ -180,15 +185,16 @@ def _coarse_cost(templates, channels_pyr, cams, T, opts):
     return jnp.sum(jnp.where(valid[None, :], r, 0.0) ** 2) / n
 
 
-def _gated_warm_start(templates, channels_pyr, cams, T_warm, T_cold, opts):
-    """Constant-velocity warm start with an acceptance gate: take the warm
-    prediction only when its photometric cost at the coarsest level does not
-    exceed the cold start's.  Guards against the motion model extrapolating a
-    bad estimate into a self-consistent alias lock (round-3 bench pathology,
-    docs/PERFORMANCE.md): a real-motion warm start wins the probe, an aliased
-    one costs more than the cold start and is rejected."""
-    c_warm = _coarse_cost(templates, channels_pyr, cams, T_warm, opts)
-    c_cold = _coarse_cost(templates, channels_pyr, cams, T_cold, opts)
+def _gated_warm_start(templates, channels_pyr, cams, T_warm, T_cold, opts,
+                      level=None):
+    """Warm start with an acceptance gate: take the warm prediction only
+    when its photometric cost at the probe level does not exceed the cold
+    start's.  Guards against a bad prediction extrapolating into a
+    self-consistent alias lock (round-3 bench pathology,
+    docs/PERFORMANCE.md): a real-motion warm start wins the probe, an
+    aliased one costs more than the cold start and is rejected."""
+    c_warm = _coarse_cost(templates, channels_pyr, cams, T_warm, opts, level)
+    c_cold = _coarse_cost(templates, channels_pyr, cams, T_cold, opts, level)
     return jnp.where(c_warm <= c_cold, T_warm, T_cold)
 
 
@@ -302,18 +308,35 @@ def make_vo_step(p: AlgorithmParameters, cams, capacities,
             # re-estimation against the new keyframe; when the keyframe IS the
             # current frame this converges to ~identity in one iteration and
             # its result is unused.  The candidate is the previous frame, so
-            # the motion model's prediction for candidate->current is T_delta.
-            T2_init = (_gated_warm_start(templates, channels, cams,
-                                         state.T_delta,
-                                         jnp.eye(4, dtype=jnp.float32),
-                                         opts_per_level[n_levels - 1])
-                       if p.withMotionModel
-                       else jnp.eye(4, dtype=jnp.float32))
+            # this pass only ever solves SINGLE-frame motion: with
+            # keyframeReestimateStartLevel >= 0 it skips the coarse levels
+            # (which exist for the large keyframe->current motion) and
+            # warm-starts from the measured candidate->current motion
+            # T_est @ inv(T_kf) behind the coarse-cost acceptance gate
+            # (identity fallback = the reference's init, vo.cc:185).
+            if p.keyframeReestimateStartLevel >= 0:
+                start2 = min(max(p.keyframeReestimateStartLevel,
+                                 p.maxTestLevel), n_levels - 1)
+                T2_warm = T_est @ _rigid_inverse(state.T_kf)
+                T2_init = _gated_warm_start(
+                    templates, channels, cams, T2_warm,
+                    jnp.eye(4, dtype=jnp.float32), opts_per_level[start2],
+                    level=start2)
+            else:
+                start2 = n_levels - 1
+                # the motion model's prediction for candidate->current is
+                # T_delta (constant velocity)
+                T2_init = (_gated_warm_start(templates, channels, cams,
+                                             state.T_delta,
+                                             jnp.eye(4, dtype=jnp.float32),
+                                             opts_per_level[n_levels - 1])
+                           if p.withMotionModel
+                           else jnp.eye(4, dtype=jnp.float32))
             T2, it2, fs2, _frac2, _H2, w2_fine, _bo2 = _estimate(
                 templates, channels, cams, T2_init,
                 opts_per_level, p.maxTestLevel, p.goodPointThreshold,
                 p.minNumPixelsToWork, p.poseEstimator, linearize_factory,
-                count_reduce)
+                count_reduce, start_level=start2)
             pose = jnp.where(has_prev, T2,
                              T_est @ _rigid_inverse(state.T_kf))
             T_kf_new = jnp.where(has_prev, T2, jnp.eye(4, dtype=jnp.float32))

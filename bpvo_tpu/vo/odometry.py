@@ -258,9 +258,22 @@ class VisualOdometry:
                 self._prev, self._ref = self._ref, self._prev
                 self._prev.clear()
                 self._ref.set_template(self._cams, p, self._capacities)
+                # the re-estimate solves single-frame (candidate->current)
+                # motion: skip the coarse levels and warm-start from the
+                # measured T_est @ inv(T_kf) behind the acceptance gate
+                # (keyframeReestimateStartLevel; -1 = reference-exact)
+                if p.keyframeReestimateStartLevel >= 0:
+                    n_levels = len(self._cur.channels)
+                    start2 = min(max(p.keyframeReestimateStartLevel,
+                                     p.maxTestLevel), n_levels - 1)
+                    alt = (T_est @ np.linalg.inv(self._T_kf)).astype(
+                        np.float32)
+                else:
+                    start2, alt = -1, None
                 T_est, stats = self._pose_estimator.estimate(
                     self._ref.templates, self._cur.channels, self._cams,
-                    np.eye(4, dtype=np.float32))
+                    np.eye(4, dtype=np.float32), start_level=start2,
+                    alt_init=alt)
                 pose = T_est
                 self._T_kf = T_est
 

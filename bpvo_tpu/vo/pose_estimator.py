@@ -40,7 +40,8 @@ def _run_level(tdata, channels, cam, T, opts):
 
 
 @partial(jax.jit, static_argnames=("opts_per_level", "max_test_level",
-                                   "good_threshold", "min_points", "solver"))
+                                   "good_threshold", "min_points", "solver",
+                                   "start_level"))
 def _estimate_all(templates: Tuple[TemplateData, ...],
                   channels: Tuple[jnp.ndarray, ...],
                   cams: Tuple[warp_mod.CameraModel, ...],
@@ -49,7 +50,9 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
                   max_test_level: int,
                   good_threshold: float,
                   min_points: int = 0,
-                  solver: str = "GaussNewton"):
+                  solver: str = "GaussNewton",
+                  start_level: int = -1,
+                  alt_init=None):
     """Full coarse-to-fine estimation as one XLA program.
 
     Levels with fewer than ``min_points`` valid template points leave the pose
@@ -64,7 +67,25 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
     H (6,6), finest_weights).
     """
     n_levels = len(channels)
+    if start_level < 0:
+        start_level = n_levels - 1
     T = jnp.asarray(T_init, jnp.float32)
+    if alt_init is not None:
+        # acceptance-gated warm start (same probe as device_vo
+        # _gated_warm_start): take alt_init only when its photometric cost
+        # at the start level does not exceed T_init's
+        from bpvo_tpu.vo import template_data as td_mod
+        Ta = jnp.asarray(alt_init, jnp.float32)
+        o = opts_per_level[start_level]
+
+        def probe(Tp):
+            r, valid = td_mod.compute_residuals(
+                templates[start_level], channels[start_level],
+                cams[start_level], Tp, o.interp, warp=o.warp)
+            n = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
+            return jnp.sum(jnp.where(valid[None, :], r, 0.0) ** 2) / n
+
+        T = jnp.where(probe(Ta) <= probe(T), Ta, T)
     iters = [jnp.asarray(0, jnp.int32)] * n_levels
     fs = [jnp.asarray(0.0, jnp.float32)] * n_levels
     gs = [jnp.asarray(0.0, jnp.float32)] * n_levels
@@ -78,7 +99,7 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
         run_level = gn.run
 
     finest = None
-    for level in range(n_levels - 1, max_test_level - 1, -1):
+    for level in range(start_level, max_test_level - 1, -1):
         opts_l = opts_per_level[level]
         ch_l = channels[level]
         K_l = templates[level].pixels.shape[1]
@@ -132,8 +153,12 @@ class PoseEstimator:
     def estimate(self, templates: Sequence[TemplateData],
                  channels_pyr: Sequence[jnp.ndarray],
                  cams: Sequence[warp_mod.CameraModel],
-                 T_init) -> tuple:
+                 T_init, start_level: int = -1, alt_init=None) -> tuple:
         """One-dispatch coarse-to-fine estimate.
+
+        ``start_level`` >= 0 starts the chain below the coarsest level;
+        ``alt_init`` is an acceptance-gated alternative initialization (the
+        keyframe re-estimate's measured candidate->current motion).
 
         Returns (T_est (4,4) np.float32, per-level OptimizerStatistics list).
         """
@@ -143,7 +168,8 @@ class PoseEstimator:
             tuple(templates), tuple(channels_pyr), tuple(cams),
             jnp.asarray(T_init, jnp.float32), self._opts_for(n_levels),
             p.maxTestLevel, p.goodPointThreshold, _MIN_POINTS_PER_LEVEL,
-            p.poseEstimator)
+            p.poseEstimator, start_level,
+            None if alt_init is None else jnp.asarray(alt_init, jnp.float32))
 
         self._last_weights = w
         self._last_H = H

@@ -149,3 +149,40 @@ def test_motion_model_gate_matches_cold_start_accuracy():
             err = np.asarray(se3_mod.log(jnp.asarray(
                 np.asarray(out.pose) @ np.linalg.inv(T_step), jnp.float32)))
             assert np.abs(err).max() < 5e-3, (with_mm, err)
+
+
+def test_reestimate_scope_accuracy_parity():
+    """keyframeReestimateStartLevel=1 (skip coarse levels + gated warm start
+    in the candidate re-estimate — round-5 keyframe-path optimization) must
+    match the reference-exact full-pyramid re-estimate (-1) on a sequence
+    with forced keyframing."""
+    step = [0, 0, 0.001, 0.006, 0, 0.012]
+    frames = make_sequence(step, 8)
+    cam = make_cam()
+    T_step = np.asarray(se3.exp(jnp.asarray(step, jnp.float32)))
+    errs = {}
+    kf_counts = {}
+    for ksl in (1, -1):
+        # low translation threshold forces keyframes so the re-estimate path
+        # actually runs several times
+        p = make_params(keyframeReestimateStartLevel=ksl,
+                        minTranslationMagToKeyFrame=0.02)
+        vo = DeviceVO(np.asarray(cam.K()), float(cam.baseline),
+                      (H_IMG, W_IMG), p)
+        e = []
+        kfs = 0
+        for I, D in frames:
+            out = vo.add_frame(I, D)
+            if out is None:
+                continue
+            kfs += int(out.is_keyframe)
+            e.append(np.abs(np.asarray(se3.log(jnp.asarray(
+                np.asarray(out.pose) @ np.linalg.inv(T_step),
+                jnp.float32)))).max())
+        errs[ksl] = max(e)
+        kf_counts[ksl] = kfs
+    assert kf_counts[1] >= 2, "keyframing (and thus re-estimation) must fire"
+    assert kf_counts[1] == kf_counts[-1]
+    assert errs[1] < 2e-3, errs
+    # scoped re-estimate must not be meaningfully worse than full-pyramid
+    assert errs[1] < errs[-1] + 5e-4, errs
