@@ -142,9 +142,15 @@ def measure_dispatch_rtt():
     return (time.perf_counter() - t0) / reps * 1e3
 
 
-def run_online(K, baseline, images, disps):
+def run_online(K, baseline, images, disps, per_frame: bool = False):
     """Online mode: one jitted step per frame (latency-oriented deployment);
-    on the tunneled backend this is dispatch-RTT-bound, not compute-bound."""
+    on the tunneled backend this is dispatch-RTT-bound, not compute-bound.
+
+    ``per_frame`` additionally measures the HOST-OBSERVED per-frame latency
+    (dispatch + device step + fetch of the pose each frame — the number an
+    online consumer of the pose actually waits; the reference's vo_perf
+    dumps exactly this stream to _time.txt, apps/vo_perf.cc:100-139) and
+    returns (pipelined_hz, latencies_ms list)."""
     import jax
     from bpvo_tpu.vo.device_vo import DeviceVO
 
@@ -167,7 +173,18 @@ def run_online(K, baseline, images, disps):
     poses = np.asarray(out.pose_world)
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(poses))
-    return n / dt
+    hz = n / dt
+    if not per_frame:
+        return hz
+    # latency pass: fetch the pose EVERY frame (no pipelining) — each sample
+    # is one full submit->compute->fetch round trip
+    lat_ms = []
+    for i in range(N_WARMUP, n_frames):
+        t1 = time.perf_counter()
+        out = vo.add_frame(*frame_list[i])
+        np.asarray(out.pose)
+        lat_ms.append((time.perf_counter() - t1) * 1e3)
+    return hz, lat_ms
 
 
 def main():
@@ -230,11 +247,23 @@ def main():
         if os.environ.get("BPVO_BENCH_ONLINE", "1") != "0":
             try:
                 rtt_ms = measure_dispatch_rtt()
-                online_hz = run_online(K, baseline, images, disps)
+                online_hz, lat_ms = run_online(K, baseline, images, disps,
+                                               per_frame=True)
                 result["online_hz"] = round(online_hz, 2)
                 result["online_vs_baseline"] = round(
                     online_hz / BASELINE_HZ, 3)
                 result["dispatch_rtt_ms"] = round(rtt_ms, 2)
+                # per-frame pose latency distribution (host-observed: one
+                # submit->compute->fetch round trip per sample), raw and net
+                # of the tunnel RTT a real PCIe host would not pay — the
+                # honest headline for the online use case (VERDICT r4
+                # item 5); Hz alone hides the latency path entirely
+                p50 = float(np.percentile(lat_ms, 50))
+                p99 = float(np.percentile(lat_ms, 99))
+                result["online_p50_ms"] = round(p50, 2)
+                result["online_p99_ms"] = round(p99, 2)
+                result["online_p50_ms_rtt_corrected"] = round(
+                    max(p50 - rtt_ms, 0.0), 2)
                 # Dispatches pipeline (add_frame does not fetch), so a frame
                 # time below the RTT means the tunnel latency is fully hidden
                 # and no correction applies; only when the loop is slower
@@ -252,7 +281,10 @@ def main():
                 detail["online"] = {
                     "hz": result["online_hz"], "rtt_ms": result[
                         "dispatch_rtt_ms"],
-                    "rtt_hidden_by_pipelining": frame_ms <= rtt_ms}
+                    "rtt_hidden_by_pipelining": frame_ms <= rtt_ms,
+                    "p50_ms": result["online_p50_ms"],
+                    "p99_ms": result["online_p99_ms"],
+                    "latencies_ms": [round(t, 2) for t in lat_ms]}
             except Exception as e:  # online must not sink the headline
                 result["online_error"] = f"{type(e).__name__}: {e}"
 

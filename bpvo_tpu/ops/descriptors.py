@@ -194,17 +194,29 @@ def shift_clamp(I, dy: int, dx: int):
     return Ip[..., y0:y0 + H, x0:x0 + W]
 
 
-def latch(I, num_bytes: int = 1, half_ssd_size: int = 1):
+def latch(I, num_bytes: int = 1, half_ssd_size: int = 1,
+          sigma_pre: float = 2.0, sigma_post: float = 1.75):
     """Dense LATCH-style binary descriptor (reference latch_descriptor.cc,
     vendored from OpenCV-contrib).  For each of 8*num_bytes triplets
-    (anchor, a, b) of patch offsets, channel = 1 if SSD(P_a, P_anchor) <
-    SSD(P_b, P_anchor) else 0, with (2*half_ssd_size+1)^2 patches.
+    (anchor, a, b) of patch offsets, bit = SSD(P_a, P_anchor) <
+    SSD(P_b, P_anchor), with (2*half_ssd_size+1)^2 patches.
+
+    Channel post-processing follows the reference exactly — it is what makes
+    a BINARY descriptor usable by a gradient-based tracker: the input is
+    pre-blurred (GaussianBlur sigma 2, latch_descriptor.cc:142), each bit is
+    scaled to 255*b - 128 and Gaussian-smoothed with sigma 1.75
+    (latch_descriptor.cc:1070-1082).  Round 4 shipped raw {0, 1} channels
+    with no smoothing; their gradients are delta functions, which is exactly
+    the measured pathology (109 iters/frame, 0.68 m ATE,
+    docs/DESCRIPTOR_EVAL.md round 4).
 
     Re-designed for TPU: the per-pixel SSDs are computed with shifted whole-image
     squared differences + a box filter, so each channel is a few fused VPU ops.
     Shifts are edge-clamped (no wrap-around contamination near borders).
     """
     I = I.astype(jnp.float32)
+    if sigma_pre > 0:
+        I = imgproc.imsmooth(I, sigma_pre, ksize=3)
     k = 2 * half_ssd_size + 1
     box = np.ones((k,), np.float32)
 
@@ -217,7 +229,9 @@ def latch(I, num_bytes: int = 1, half_ssd_size: int = 1):
     for (anchor, a, b) in _latch_triplets(8 * num_bytes):
         ssd_a = patch_ssd(a, anchor)
         ssd_b = patch_ssd(b, anchor)
-        chans.append((ssd_a < ssd_b).astype(jnp.float32))
+        bit = 255.0 * (ssd_a < ssd_b).astype(jnp.float32) - 128.0
+        chans.append(imgproc.imsmooth(bit, sigma_post)
+                     if sigma_post > 0 else bit)
     return jnp.stack(chans)
 
 

@@ -74,9 +74,20 @@ def main():
         return t[0].points.sum()
     print(f"template build all levels: {loop_time(tb_body, n=20):.3f} ms")
 
-    # GN fixed-iteration per level
+    # GN fixed-iteration per level — BOTH routes (VERDICT r4 item 7: the
+    # stage table must reflect the shipped configuration, which runs coarse
+    # levels through the whole-level Pallas kernel when BPVO_LEVEL_KERNEL
+    # resolves on).  The xla_loop rows use fixed-iteration programs for the
+    # fixed/per-iter decomposition; the level_kernel rows time the EXACT
+    # production program (production opts, natural convergence) — a fixed-
+    # iteration variant would be a different kernel program and hence a
+    # fresh tens-of-minutes remote compile per row on this container.
     import dataclasses
     T0 = jnp.eye(4, dtype=jnp.float32)
+    kernel_on = gn.level_kernel_enabled()
+    print(f"production route: level kernel "
+          f"{'ON (bench default on TPU)' if kernel_on else 'OFF'} "
+          f"for supported coarse levels")
     for level in range(4):
         per_iter = {}
         for n_it in (1, 5):
@@ -88,9 +99,31 @@ def main():
                             T0 + 0.0 * x, o)
                 return st.f_norm
             per_iter[n_it] = loop_time(gn_body, n=20)
-        print(f"GN level {level}: 1it={per_iter[1]:.3f} ms 5it={per_iter[5]:.3f}"
-              f" ms -> {(per_iter[5]-per_iter[1])/4*1e3:.0f} us/iter"
-              f" (cap={templates[level].points.shape[0]})")
+        ch_l = channels[level]
+        K_l = templates[level].pixels.shape[1]
+        supported = (level > p.maxTestLevel and gn.level_kernel_supported(
+            vo._opts[level], ch_l.shape[0], ch_l.shape[1], ch_l.shape[2],
+            K_l))
+        row = (f"GN level {level}: xla_loop 1it={per_iter[1]:.3f} ms "
+               f"5it={per_iter[5]:.3f} ms -> "
+               f"{(per_iter[5]-per_iter[1])/4*1e3:.0f} us/iter "
+               f"(cap={templates[level].points.shape[0]})")
+        if supported and kernel_on:
+            def lk_body(i, x, l=level):
+                st = gn.run_level_fused(templates[l], channels[l],
+                                        vo._cams[l], T0 + 0.0 * x,
+                                        vo._opts[l])
+                return st.f_norm
+            ms_k = loop_time(lk_body, n=20)
+            st = gn.run_level_fused(templates[level], channels[level],
+                                    vo._cams[level], T0, vo._opts[level])
+            row += (f" | level_kernel {ms_k:.3f} ms/run at "
+                    f"{int(st.num_iters)} iters [PRODUCTION]")
+        elif supported:
+            row += " | level_kernel: supported, disabled by env"
+        else:
+            row += " | level_kernel: n/a (finest level or outside envelope)"
+        print(row)
 
 
 if __name__ == "__main__":

@@ -208,8 +208,11 @@ class TestDescriptors:
         I2[:, -2:] += 100.0  # touch the right edge only
         a = np.asarray(descriptors.latch(jnp.asarray(I)))
         b = np.asarray(descriptors.latch(jnp.asarray(I2)))
-        # left 16 columns (> window+ssd radius away) must be identical
-        np.testing.assert_array_equal(a[:, :, :16], b[:, :, :16])
+        # halo from the right edge: max triplet offset (24) + ssd radius (1)
+        # + post-smooth radius (6, sigma 1.75) + pre-blur radius (1) => the
+        # perturbation can reach column 48-2-32 = 14; columns < 12 must be
+        # identical (wraparound would corrupt them all the way to column 0)
+        np.testing.assert_array_equal(a[:, :, :12], b[:, :, :12])
 
     def test_central_difference_no_wraparound(self):
         I = synthetic_image(30, 36)
