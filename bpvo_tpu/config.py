@@ -222,6 +222,22 @@ class AlgorithmParameters:
     # err 8.9e-5 vs 9.1e-5, BitPlanes 7.3e-3 vs 7.7e-3 (level-1 start vs
     # full pyramid), same keyframe counts.
     keyframeReestimateStartLevel: int = 1
+    # Alias-recovery multi-start (no reference analogue).  > 0: before the
+    # coarse-to-fine chain, probe the robust cost (mean |r| over valid
+    # points at a mid pyramid level) at the warm init AND at
+    # +-coarseInitOffsetPx full-resolution-pixel shifts of the camera
+    # (metricized via the median template depth), starting GN from the
+    # cheapest candidate.  Guards against period-jump locks on globally
+    # periodic texture; on healthy scenes the centered init wins every
+    # probe and nothing changes.  MEASURED NEGATIVE RESULT for the
+    # plane x BitPlanes parity cell it was proposed for (round 5): that
+    # cell's 0.92 m ATE has NO period-scale jumps (per-frame error max
+    # 36 mm << the 230 mm period; a deliberately alias-shifted init is
+    # already recovered by the coarse pyramid WITHOUT multi-start) — it is
+    # continuous census-quantization drift on self-similar texture, which
+    # an init-selection mechanism cannot address.  Kept as an off-by-
+    # default robustness knob for genuinely lock-prone deployments.
+    coarseInitOffsetPx: float = 0.0
     # Keyframe rotation test units.  True (default) = Euler magnitude in
     # DEGREES per the reference's documented contract (types.h:313-320
     # "Units: degrees").  False reproduces the reference IMPLEMENTATION,
@@ -298,6 +314,8 @@ class AlgorithmParameters:
             keyframeReestimateStartLevel=cf.get(
                 "keyframeReestimateStartLevel",
                 d.keyframeReestimateStartLevel, int),
+            coarseInitOffsetPx=cf.get(
+                "coarseInitOffsetPx", d.coarseInitOffsetPx, float),
             rotationKeyframeInDegrees=cf.get(
                 "rotationKeyframeInDegrees", d.rotationKeyframeInDegrees, bool),
             poseEstimator=_parse_pose_estimator(

@@ -231,7 +231,8 @@ class VisualOdometry:
                           optimizer_statistics=[])
 
         T_est, stats = self._pose_estimator.estimate(
-            self._ref.templates, self._cur.channels, self._cams, self._T_kf)
+            self._ref.templates, self._cur.channels, self._cams, self._T_kf,
+            multistart_px=p.coarseInitOffsetPx)
 
         reason = self._should_keyframe(T_est)
         is_kf = reason != KeyFramingReason.NO_KEYFRAMING

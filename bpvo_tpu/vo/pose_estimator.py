@@ -41,7 +41,7 @@ def _run_level(tdata, channels, cam, T, opts):
 
 @partial(jax.jit, static_argnames=("opts_per_level", "max_test_level",
                                    "good_threshold", "min_points", "solver",
-                                   "start_level"))
+                                   "start_level", "multistart_px"))
 def _estimate_all(templates: Tuple[TemplateData, ...],
                   channels: Tuple[jnp.ndarray, ...],
                   cams: Tuple[warp_mod.CameraModel, ...],
@@ -52,7 +52,8 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
                   min_points: int = 0,
                   solver: str = "GaussNewton",
                   start_level: int = -1,
-                  alt_init=None):
+                  alt_init=None,
+                  multistart_px: float = 0.0):
     """Full coarse-to-fine estimation as one XLA program.
 
     Levels with fewer than ``min_points`` valid template points leave the pose
@@ -86,6 +87,46 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
             return jnp.sum(jnp.where(valid[None, :], r, 0.0) ** 2) / n
 
         T = jnp.where(probe(Ta) <= probe(T), Ta, T)
+    if multistart_px > 0:
+        # alias-recovery multi-start (config coarseInitOffsetPx): probe the
+        # ROBUST cost (mean |r|, resistant to the outlier tails that make a
+        # squared cost prefer aliased locks) at the warm init and at
+        # +-multistart_px full-res-pixel camera shifts in x/y, metricized
+        # through the median template depth; start from the cheapest.
+        from bpvo_tpu.solver import mestimator
+        from bpvo_tpu.vo import template_data as td_mod
+        # probe at a level where one texture period is still resolvable:
+        # midway between the coarsest level and the finest (the coarsest
+        # sees the period below Nyquist and cannot separate the basins —
+        # measured: probing at L2 of a 3-level pyramid never fires on the
+        # aliased plane).  BPVO_MS_PROBE_LEVEL overrides for experiments.
+        import os as _os
+        pl = int(_os.environ.get(
+            "BPVO_MS_PROBE_LEVEL", (start_level + max_test_level) // 2))
+        pl = min(max(pl, max_test_level), start_level)
+        td_s = templates[pl]
+        zmed = mestimator.masked_median_sort(td_s.points[:, 2], td_s.valid)
+        step = multistart_px * zmed / cams[0].fx
+        o = opts_per_level[pl]
+
+        def robust_cost(Tp):
+            r, valid = td_mod.compute_residuals(
+                templates[pl], channels[pl],
+                cams[pl], Tp, o.interp, warp=o.warp)
+            n = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
+            return jnp.sum(jnp.abs(jnp.where(valid[None, :], r, 0.0))) / n
+
+        def shifted(dx, dy):
+            return T.at[0, 3].add(dx).at[1, 3].add(dy)
+
+        cands = jnp.stack([T, shifted(step, 0.0), shifted(-step, 0.0),
+                           shifted(0.0, step), shifted(0.0, -step)])
+        costs = jax.vmap(robust_cost)(cands)
+        # strict preference for the centered init: a shifted candidate must
+        # beat it by a margin, not tie it on noise
+        best = jnp.argmin(jnp.where(jnp.arange(5) == 0, costs * 0.999,
+                                    costs))
+        T = cands[best]
     iters = [jnp.asarray(0, jnp.int32)] * n_levels
     fs = [jnp.asarray(0.0, jnp.float32)] * n_levels
     gs = [jnp.asarray(0.0, jnp.float32)] * n_levels
@@ -153,7 +194,8 @@ class PoseEstimator:
     def estimate(self, templates: Sequence[TemplateData],
                  channels_pyr: Sequence[jnp.ndarray],
                  cams: Sequence[warp_mod.CameraModel],
-                 T_init, start_level: int = -1, alt_init=None) -> tuple:
+                 T_init, start_level: int = -1, alt_init=None,
+                 multistart_px: float = 0.0) -> tuple:
         """One-dispatch coarse-to-fine estimate.
 
         ``start_level`` >= 0 starts the chain below the coarsest level;
@@ -169,7 +211,8 @@ class PoseEstimator:
             jnp.asarray(T_init, jnp.float32), self._opts_for(n_levels),
             p.maxTestLevel, p.goodPointThreshold, _MIN_POINTS_PER_LEVEL,
             p.poseEstimator, start_level,
-            None if alt_init is None else jnp.asarray(alt_init, jnp.float32))
+            None if alt_init is None else jnp.asarray(alt_init, jnp.float32),
+            multistart_px)
 
         self._last_weights = w
         self._last_H = H
