@@ -126,12 +126,23 @@ def _exp_combined(dp, s_n, c0, c1, c2):
     return R, t
 
 
+def _kernel_banded(scal_ref, T0_ref, bases_ref, pts_ref, jp_ref, img_ref,
+                   outT_ref, stats_ref, h8_ref, w_ref, bo_ref, **kw):
+    """Banded-sampling variant: extra inputs/outputs, same body (see
+    _kernel's ``bases_ref`` docs)."""
+    _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
+            outT_ref, stats_ref, h8_ref, w_ref,
+            bases_ref=bases_ref, bo_ref=bo_ref, **kw)
+
+
 def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
             outT_ref, stats_ref, h8_ref, w_ref, *,
             H: int, W: int, C: int, K: int, loss: str, cosine: bool,
             max_iterations: int, function_tolerance: float,
             parameter_tolerance: float, gradient_tolerance: float,
-            scale_tolerance: float, scale_tolerance_rel: float):
+            scale_tolerance: float, scale_tolerance_rel: float,
+            bases_ref=None, bo_ref=None, band: int = 0,
+            bf16_mix: bool = False):
     Hp = img_ref.shape[1]
     Wp = img_ref.shape[2]
     Kp = pts_ref.shape[1]
@@ -152,20 +163,31 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
     Zp = pts_ref[2:3, :]
     val = pts_ref[3:4, :]
 
-    # the sampling column-mix is chunked along points: the (Wp, chunk) 2-hot
-    # and (C*Hp, chunk) colmix are the only large intermediates, so the
-    # chunk size caps VMEM while I1/residuals/reductions stay full-width.
-    # Shapes that fit 6 MB unchunked keep their (validated) single-pass
-    # program; larger shapes shrink the chunk until 3 MB — at the C=8 L1
-    # shape the tighter budget is what fits the whole kernel under Mosaic's
-    # 16 MB scoped-VMEM stack
-    ck = Kp
-    if (Wp + C * Hp) * Kp * 4 > 6 * 1024 * 1024:
-        while (Wp + C * Hp) * ck * 4 > 3 * 1024 * 1024:
-            ck //= 2
-    n_chunks = Kp // ck
-    cid = jax.lax.broadcasted_iota(jnp.int32, (Wp, ck), 0)
-    rid = jax.lax.broadcasted_iota(jnp.int32, (Hp, ck), 0)
+    # Sampling strategy (static): shapes whose (Wp, Kp) 2-hot and
+    # (C*Hp, Kp) colmix fit 6 MB keep the validated single-pass program;
+    # larger shapes (the K=4096 L1 levels) use BANDED sampling — the
+    # round-4 chunked full-height variant was measured SLOWER end-to-end
+    # (BitPlanes 262.9 vs 326.2 Hz: full-Hp colmixes per chunk), and its
+    # post-mortem named this fix.  Banded: points are block-balanced into
+    # raster-ordered blocks of 512, so block b's rows live in a narrow
+    # band; the caller passes each block's band base (in units of 8 rows —
+    # the *8 inside the kernel gives Mosaic the sublane-alignment proof)
+    # computed from the INITIAL pose, and each per-block colmix touches
+    # only (band, Wp) image rows: ~4x fewer sampling MACs than full
+    # height.  Points whose warped row leaves their block's band during
+    # the solve are dropped from the system and counted in bo_ref —
+    # identical contract to the stacked linearize kernel's band telemetry
+    # (ops/pallas/gn_kernel.py).
+    banded = bases_ref is not None
+    if not banded:
+        ck = Kp
+        cid = jax.lax.broadcasted_iota(jnp.int32, (Wp, ck), 0)
+        rid = jax.lax.broadcasted_iota(jnp.int32, (Hp, ck), 0)
+    else:
+        ck = 512
+        cid = jax.lax.broadcasted_iota(jnp.int32, (Wp, ck), 0)
+        brid = jax.lax.broadcasted_iota(jnp.int32, (band, ck), 0)
+    n_blocks = Kp // ck
     rid8 = jax.lax.broadcasted_iota(jnp.int32, (8, Kp), 0)
 
     def linearize(Ts):
@@ -191,7 +213,7 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
             xf = (1.0 - jnp.cos(xf * jnp.pi)) * 0.5
             yf = (1.0 - jnp.cos(yf * jnp.pi)) * 0.5
 
-        if n_chunks == 1:
+        if not banded:
             onehot = (jnp.where(cid == xii, 1.0 - xf, 0.0)
                       + jnp.where(cid == xii + 1, xf, 0.0))
             flat_img = img_ref[:, :, :].reshape(C * Hp, Wp)
@@ -204,55 +226,75 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
             I1s = [jnp.sum(cm3[c] * row_w, axis=0, keepdims=True)
                    for c in range(C)]
         else:
-            # CHUNKED sampling as a lax.fori loop so Mosaic provably reuses
-            # the (Wp, ck)/(C*Hp, ck) buffers across chunks — the unrolled
-            # python loop kept several alive and blew the 16 MB scoped-VMEM
-            # stack at the C=8 L1 shape (21.06 MB, probed on device).
-            # A lane-slice of a (1, Kp) vector cannot be re-broadcast
-            # ("Invalid input layout") and a sublane dynamic-slice lacks the
-            # multiple-of-8 proof, so the chunk's coordinate row is taken by
-            # an iota-compare reduction over the (n_chunks, ck) reshape, and
-            # the chunk's I1 contribution lands back in (1, Kp) via a static
-            # lane-tile masked by lane//ck == q.
-            xiic = xii.reshape(n_chunks, ck).astype(jnp.float32)
-            xfc = xf.reshape(n_chunks, ck)
-            yiic = yii.reshape(n_chunks, ck).astype(jnp.float32)
-            yfc = yf.reshape(n_chunks, ck)
-            rows_iota = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, ck), 0)
-            lane_chunk = (jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
-                          // ck)
+            # BANDED sampling, python-unrolled over the n_blocks point
+            # blocks (block-balance fixed the block boundaries).  A lane
+            # slice of a (1, Kp) vector cannot be re-broadcast on Mosaic
+            # ("Invalid input layout", probed on device in round 4 AND
+            # re-confirmed for this kernel), so each block's coordinate row
+            # is extracted by the proven iota-compare reduction over the
+            # (n_blocks, ck) reshape; with a STATIC block index the select
+            # mask folds to a constant.  Only the row-band start is
+            # dynamic — expressed as bases_ref[b] * 8 so the sublane slice
+            # carries a multiple-of-8 proof.
+            xii2 = xii.reshape(n_blocks, ck).astype(jnp.float32)
+            xf2 = xf.reshape(n_blocks, ck)
+            yii2 = yii.reshape(n_blocks, ck).astype(jnp.float32)
+            yf2 = yf.reshape(n_blocks, ck)
+            rows_iota = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, ck), 0)
 
-            def take_row(a, q):
-                return jnp.sum(jnp.where(rows_iota == q, a, 0.0), axis=0,
-                               keepdims=True)            # (1, ck)
+            def take_row(a, b):
+                return jnp.sum(jnp.where(rows_iota == b, a, 0.0), axis=0,
+                               keepdims=True)              # (1, ck)
 
-            def chunk_body(q, I1_acc):
-                xq = take_row(xiic, q).astype(jnp.int32)
-                fq = take_row(xfc, q)
-                yq = take_row(yiic, q).astype(jnp.int32)
-                gq = take_row(yfc, q)
+            I1_chunks = [[] for _ in range(C)]
+            band_ok_chunks = []
+            for b in range(n_blocks):
+                xq = take_row(xii2, b).astype(jnp.int32)
+                fq = take_row(xf2, b)
+                yq = take_row(yii2, b).astype(jnp.int32)
+                gq = take_row(yf2, b)
+                base = bases_ref[b] * 8
+                yrel = yq - base
+                band_ok_chunks.append((yrel >= 0) & (yrel <= band - 2))
                 onehot = (jnp.where(cid == xq, 1.0 - fq, 0.0)
                           + jnp.where(cid == xq + 1, fq, 0.0))
-                row_w = (jnp.where(rid == yq, 1.0 - gq, 0.0)
-                         + jnp.where(rid == yq + 1, gq, 0.0))
-                mask = (lane_chunk == q).astype(jnp.float32)  # (1, Kp)
-                # per-channel dot against the ref slice: a (C*Hp, Wp) image
-                # VALUE (a 3.9 MB reshape copy at the L1 shape) never exists
-                parts = []
+                yrs = jnp.clip(yrel, 0, band - 2)
+                row_w = (jnp.where(brid == yrs, 1.0 - gq, 0.0)
+                         + jnp.where(brid == yrs + 1, gq, 0.0))
+                # single-pass bf16 column mix for unit-scale (census)
+                # channels — the same measured-safe policy as the stacked
+                # linearize kernel (GNOptions.fused_bf16; f32 banded dots
+                # measured 1.13 ms vs the stacked-XLA route's 0.95 at the
+                # BitPlanes L1 shape, bf16 is what makes the kernel win)
+                if bf16_mix:
+                    onehot = onehot.astype(jnp.bfloat16)
                 for c in range(C):
-                    colmix_c = jax.lax.dot_general(
-                        img_ref[c], onehot,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (Hp, ck)
-                    i1c = jnp.sum(colmix_c * row_w, axis=0,
-                                  keepdims=True)         # (1, ck)
-                    tiled = jnp.concatenate([i1c] * n_chunks, axis=1)
-                    parts.append(tiled * mask)
-                return I1_acc + jnp.concatenate(parts, axis=0)
-
-            I1_full = jax.lax.fori_loop(
-                0, n_chunks, chunk_body, jnp.zeros((C, Kp), jnp.float32))
-            I1s = [I1_full[c:c + 1, :] for c in range(C)]
+                    img_band = img_ref[c, pl.ds(base, band), :]
+                    if bf16_mix:
+                        # DEFAULT precision: the package-global f32 matmul
+                        # precision would ask Mosaic for an fp32-contract
+                        # bf16 matmul, which it rejects ("Bad lhs type" —
+                        # probed on device for the stacked kernel AND
+                        # re-confirmed here)
+                        colmix_c = jax.lax.dot_general(
+                            img_band.astype(jnp.bfloat16), onehot,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+                    else:
+                        colmix_c = jax.lax.dot_general(
+                            img_band, onehot,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (band, ck)
+                    I1_chunks[c].append(jnp.sum(colmix_c * row_w, axis=0,
+                                                keepdims=True))
+            in_band = jnp.concatenate(band_ok_chunks, axis=1)   # (1, Kp)
+            # telemetry: initially-valid points pushed out of their block's
+            # band by the pose updates (dropped from the system below)
+            bo_ref[0] = jnp.sum((ok & ~in_band).astype(jnp.float32))
+            ok = ok & in_band
+            okf = ok.astype(jnp.float32)
+            I1s = [jnp.concatenate(I1_chunks[c], axis=1) for c in range(C)]
 
         rs = []
         for c in range(C):
@@ -475,23 +517,43 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
 # VMEM image budget for "whole image resident" (bytes); coarse KITTI levels
 # are 0.1-4 MB, far below this
 MAX_IMG_BYTES = 6 * 1024 * 1024
-# Point budget.  K=4096 (the L1 level) WORKS on device once the sampling is
-# a lax.fori chunk body with per-channel dots (the full-image value copy was
-# the VMEM blowup: 21 MB vs the 16 MB scoped stack), but it was MEASURED
-# SLOWER end-to-end than the banded stacked kernel + XLA loop it replaces
-# (BitPlanes 262.9 vs 326.2 Hz: 8 chunks x 8 per-channel small matmuls per
-# iteration plus fori overhead exceed the scalar-chain savings).  The
-# production envelope therefore stays at the L2/L3 levels.
+# Point budgets.  Single-pass sampling envelope: K <= 2048 AND the
+# (Wp + C*Hp) * Kp intermediates fit _SMALL_SAMPLING_BYTES.  Beyond that,
+# the BANDED path (round 5) extends the kernel to K <= MAX_POINTS_BANDED —
+# the L1 levels.  (History: round 4's chunked full-height variant at K=4096
+# measured SLOWER end-to-end than the XLA loop, BitPlanes 262.9 vs
+# 326.2 Hz; its post-mortem prescribed banded sampling inside the level
+# loop, which is what ships now.)
 MAX_POINTS = 2048
+MAX_POINTS_BANDED = 4096
+_SMALL_SAMPLING_BYTES = 6 * 1024 * 1024
+
+
+def _variant(rows: int, cols: int, C: int, K: int):
+    """Which kernel variant covers this shape: "small" | "banded" | None."""
+    Hp = _round_up(rows, 8)
+    Wp = _round_up(cols, 128)
+    Kp = _round_up(K, 128)
+    if C * Hp * Wp * 4 > MAX_IMG_BYTES:
+        return None
+    if K <= MAX_POINTS and (Wp + C * Hp) * Kp * 4 <= _SMALL_SAMPLING_BYTES:
+        return "small"
+    if K <= MAX_POINTS_BANDED and Kp % 512 == 0:
+        return "banded"
+    return None
+
+
+def _band_for(rows: int, n_blocks: int) -> int:
+    """Static band height: nominal block span + margin for warp motion and
+    interpolation, sublane-aligned and capped at the level height."""
+    Hp = _round_up(rows, 8)
+    return min(Hp, _round_up(Hp // n_blocks + 32, 8))
 
 
 def supports(rows: int, cols: int, C: int, K: int, opts) -> bool:
     """Static eligibility: coarse-level shapes + the option subset the kernel
     implements (solver/gauss_newton.py consults this)."""
-    Hp = _round_up(rows, 8)
-    Wp = _round_up(cols, 128)
-    return (K <= MAX_POINTS
-            and C * Hp * Wp * 4 <= MAX_IMG_BYTES
+    return (_variant(rows, cols, C, K) is not None
             and opts.warp == "RigidBody"
             and not opts.verbose
             and opts.interp in (InterpolationType.LINEAR,
@@ -504,10 +566,13 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
 
     Returns ``run(points (K,3), valid (K,), pixels (C,K), jacobians (C,K,6),
     channels (C,rows,cols), T0 (4,4), sigma0, dscale0, s, c) ->
-    (T (4,4), stats (8,), H (6,6), g (6,), w (C,K))`` with stats as written
-    by the kernel (iters, f_norm, g_norm, status, sigma, delta_scale,
-    converged, solver_ok) and H/g/w the normal equations + IRLS weights of
-    the LAST linearization — same semantics as gauss_newton.run's GNState.
+    (T (4,4), stats (8,), H (6,6), g (6,), w (C,K), band_overflow)`` with
+    stats as written by the kernel (iters, f_norm, g_norm, status, sigma,
+    delta_scale, converged, solver_ok) and H/g/w the normal equations +
+    IRLS weights of the LAST linearization — same semantics as
+    gauss_newton.run's GNState.  ``band_overflow`` is the count of points
+    the banded variant dropped for leaving their block's row band at the
+    last linearization (0 for the small variant).
     """
     loss_name = {LossFunctionType.TUKEY: "Tukey",
                  LossFunctionType.HUBER: "Huber",
@@ -515,9 +580,14 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
     Hp = _round_up(rows, 8)
     Wp = _round_up(cols, 128)
     Kp = _round_up(K, 128)
+    variant = _variant(rows, cols, C, K)
+    assert variant is not None, (rows, cols, C, K)
+    banded = variant == "banded"
+    n_blocks = Kp // 512 if banded else 1
+    band = _band_for(rows, n_blocks) if banded else 0
 
-    kern = partial(
-        _kernel, H=rows, W=cols, C=C, K=K, loss=loss_name,
+    static = dict(
+        H=rows, W=cols, C=C, K=K, loss=loss_name,
         cosine=(opts.interp == InterpolationType.COSINE),
         max_iterations=opts.max_iterations,
         function_tolerance=opts.function_tolerance,
@@ -525,28 +595,43 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
         gradient_tolerance=opts.gradient_tolerance,
         scale_tolerance=opts.scale_tolerance,
         scale_tolerance_rel=opts.scale_tolerance_rel)
+    kern = (partial(_kernel_banded, band=band,
+                    bf16_mix=(getattr(opts, "fused_bf16", "0") == "1"
+                              and C > 1), **static) if banded
+            else partial(_kernel, **static))
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # scal (16,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # T0 (16,)
+    ]
+    if banded:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # bases (NB,)
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # pts (8, Kp)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # jp (C, 8, Kp)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # img (C, Hp, Wp)
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # T out (16,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # stats (8,)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # h8: last (8,8) block
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # w: last IRLS weights
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((16,), jnp.float32),
+        jax.ShapeDtypeStruct((8,), jnp.float32),
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((C, Kp), jnp.float32),
+    ]
+    if banded:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # overflow
+        out_shape.append(jax.ShapeDtypeStruct((1,), jnp.float32))
 
     call = pl.pallas_call(
         kern,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal (16,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # T0 (16,)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # pts (8, Kp)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # jp (C, 8, Kp)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # img (C, Hp, Wp)
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # T out (16,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # stats (8,)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # h8: last (8,8) block
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # w: last IRLS weights
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((16,), jnp.float32),
-            jax.ShapeDtypeStruct((8,), jnp.float32),
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((C, Kp), jnp.float32),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )
 
@@ -575,10 +660,38 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
             jnp.asarray(dscale0, jnp.float32),
             *([jnp.asarray(0.0, jnp.float32)] * 6)])
         T16 = jnp.reshape(jnp.asarray(T0, jnp.float32), (16,))
-        outT, stats, h8, w = call(scal, T16, pts, jp, img)
+        if banded:
+            # per-block row-band bases (in units of 8 rows) from the INITIAL
+            # pose: the band is centered on each block's projected row span,
+            # with the static margin in `band` absorbing the solve's pose
+            # updates (violations are dropped + counted, never corrupted)
+            Tm = jnp.reshape(T16, (4, 4))
+            P = pts[0:3, :]
+            Xc = Tm[:3, :3] @ P + Tm[:3, 3:4]
+            zi = 1.0 / jnp.where(jnp.abs(Xc[2]) > 1e-12, Xc[2], 1e-12)
+            vrow = jnp.asarray(cam.fy, jnp.float32) * Xc[1] * zi \
+                + jnp.asarray(cam.cy, jnp.float32)
+            vrow = jnp.clip(vrow, 0.0, rows - 1.0)
+            vb = vrow.reshape(n_blocks, 512)
+            okb = (pts[3, :] > 0).reshape(n_blocks, 512)
+            big = jnp.asarray(1e9, jnp.float32)
+            lo = jnp.min(jnp.where(okb, vb, big), axis=1)
+            hi = jnp.max(jnp.where(okb, vb, -big), axis=1)
+            # empty blocks: center mid-image
+            empty = ~jnp.any(okb, axis=1)
+            lo = jnp.where(empty, rows * 0.5, lo)
+            hi = jnp.where(empty, rows * 0.5, hi)
+            center = 0.5 * (lo + hi)
+            base = jnp.clip(center - band * 0.5, 0.0, float(Hp - band))
+            bases = (base.astype(jnp.int32) // 8).astype(jnp.int32)
+            outT, stats, h8, w, bo = call(scal, T16, bases, pts, jp, img)
+            overflow = bo[0].astype(jnp.int32)
+        else:
+            outT, stats, h8, w = call(scal, T16, pts, jp, img)
+            overflow = jnp.asarray(0, jnp.int32)
         # h8 is the last reduce_system block: [0:6,0:6] = J^T W J,
         # [i,6] = (J^T W r)_i, [6,6] = sum w r^2
         return (jnp.reshape(outT, (4, 4)), stats,
-                h8[0:6, 0:6], h8[0:6, 6], w[:, :K])
+                h8[0:6, 0:6], h8[0:6, 6], w[:, :K], overflow)
 
     return run

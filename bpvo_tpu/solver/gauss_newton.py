@@ -551,11 +551,12 @@ def run_level_fused(tdata, channels, cam, T_init, opts: GNOptions) -> GNState:
                                                     interpret=interpret)
     runner = _LEVEL_KERNEL_CACHE[key]
     f32 = jnp.float32
-    T, stats, H, g, w = runner(cam, tdata.points, tdata.valid, tdata.pixels,
-                               tdata.jacobians, channels,
-                               jnp.asarray(T_init, f32),
-                               jnp.asarray(1.0, f32), jnp.asarray(1e10, f32),
-                               tdata.norm_scale, tdata.norm_center)
+    T, stats, H, g, w, bo = runner(cam, tdata.points, tdata.valid,
+                                   tdata.pixels, tdata.jacobians, channels,
+                                   jnp.asarray(T_init, f32),
+                                   jnp.asarray(1.0, f32),
+                                   jnp.asarray(1e10, f32),
+                                   tdata.norm_scale, tdata.norm_center)
     return GNState(
         T=T, dp=jnp.zeros(6, f32), f_norm=stats[1], f_norm_prev=stats[1],
         dp_norm_prev=jnp.asarray(0.0, f32), g=g,
@@ -564,7 +565,7 @@ def run_level_fused(tdata, channels, cam, T_init, opts: GNOptions) -> GNState:
         num_iters=stats[0].astype(jnp.int32),
         status=stats[3].astype(jnp.int32),
         converged=stats[6] > 0.5, solver_ok=stats[7] > 0.5,
-        band_overflow=jnp.asarray(0, jnp.int32), T_best=T, f_best=stats[1])
+        band_overflow=bo, T_best=T, f_best=stats[1])
 
 
 def fraction_of_good_points(weights, num_channels, num_valid, threshold):

@@ -356,7 +356,7 @@ class TestLevelGnKernel:
         st = gn.run(td, jnp.asarray(I1)[None], cam, jnp.eye(4), opts)
         run = lk.make_level_gn(I1.shape[0], I1.shape[1], 1, 1024, opts,
                                interpret=INTERPRET)
-        Tk, stats, _H, _g, _w = jax.jit(run)(
+        Tk, stats, _H, _g, _w, _bo = jax.jit(run)(
             cam, td.points, td.valid, td.pixels, td.jacobians,
             jnp.asarray(I1)[None], jnp.eye(4, dtype=jnp.float32),
             jnp.asarray(1.0, jnp.float32), jnp.asarray(1e10, jnp.float32),
@@ -394,7 +394,7 @@ class TestLevelGnKernel:
                             max_iterations=1)
         run = lk.make_level_gn(I1.shape[0], I1.shape[1], 1, 1024, opts,
                                interpret=INTERPRET)
-        _, stats, _H, _g, _w = jax.jit(run)(
+        _, stats, _H, _g, _w, _bo = jax.jit(run)(
             cam, td.points, td.valid, td.pixels, td.jacobians,
             jnp.asarray(I1)[None], jnp.eye(4, dtype=jnp.float32),
             jnp.asarray(1.0, jnp.float32), jnp.asarray(1e10, jnp.float32),
@@ -510,7 +510,7 @@ class TestLevelGnKernel:
         st = gn.run(td3, ch3, cam, jnp.eye(4), opts)
         run = lk.make_level_gn(I1.shape[0], I1.shape[1], 3, 1024, opts,
                                interpret=INTERPRET)
-        Tk, stats, _H, _g, _w = jax.jit(run)(
+        Tk, stats, _H, _g, _w, _bo = jax.jit(run)(
             cam, td3.points, td3.valid, td3.pixels, td3.jacobians, ch3,
             jnp.eye(4, dtype=jnp.float32), jnp.asarray(1.0, jnp.float32),
             jnp.asarray(1e10, jnp.float32), td3.norm_scale, td3.norm_center)
@@ -520,12 +520,12 @@ class TestLevelGnKernel:
             np.asarray(Tk) @ np.linalg.inv(T_true), jnp.float32)))
         assert np.abs(err).max() < 5e-3, err
 
-    def test_chunked_sampling_parity_k4096(self):
-        """The chunked sampling path (triggered when (Wp + C*Hp)*K exceeds
-        the VMEM budget) must match gauss_newton.run — exercised directly at
-        K=4096, beyond the production supports() envelope (the C=8 L1
-        instance measured over Mosaic's scoped-VMEM limit on device, see
-        MAX_POINTS)."""
+    def test_banded_sampling_parity_k4096(self):
+        """The BANDED sampling path (triggered when (Wp + C*Hp)*K exceeds
+        the single-pass budget — the K=4096 L1 levels) must match
+        gauss_newton.run: block-balanced point blocks sample only their
+        (band, Wp) row slab, with out-of-band points dropped + counted
+        (round 5; replaces round 4's measured-slower chunked variant)."""
         from test_gn import build_template, render_pair
         from bpvo_tpu.ops.pallas import level_gn_kernel as lk
         from bpvo_tpu.solver import gauss_newton as gn
@@ -538,10 +538,48 @@ class TestLevelGnKernel:
         st = gn.run(td, jnp.asarray(I1)[None], cam, jnp.eye(4), opts)
         run = lk.make_level_gn(I1.shape[0], I1.shape[1], 1, 4096, opts,
                                interpret=INTERPRET)
-        Tk, stats, _H, _g, _w = jax.jit(run)(
+        Tk, stats, _H, _g, _w, bo = jax.jit(run)(
             cam, td.points, td.valid, td.pixels, td.jacobians,
             jnp.asarray(I1)[None], jnp.eye(4, dtype=jnp.float32),
             jnp.asarray(1.0, jnp.float32), jnp.asarray(1e10, jnp.float32),
             td.norm_scale, td.norm_center)
         np.testing.assert_allclose(np.asarray(Tk), np.asarray(st.T),
                                    atol=5e-4)
+        # gentle motion: the static band margin must absorb every update
+        assert int(bo) == 0, int(bo)
+
+    def test_banded_multichannel_k4096(self):
+        """Banded path at the BitPlanes-L1-class multi-channel shape
+        (C>1, K=4096 — the production instance the round-5 banded kernel
+        exists for) vs gauss_newton.run."""
+        from test_gn import build_template, render_pair
+        from bpvo_tpu.core import se3
+        from bpvo_tpu.ops.pallas import level_gn_kernel as lk
+        from bpvo_tpu.solver import gauss_newton as gn
+
+        twist = [0.0008, -0.001, 0.0012, 0.008, -0.004, 0.012]
+        I0, I1, D, cam, T_true = render_pair(twist)
+        td, p = build_template(I0, D, cam, capacity=4096)
+        ch3 = jnp.stack([jnp.asarray(I1), jnp.asarray(I1) * 0.5,
+                         jnp.asarray(I1) * 2.0])
+        td3 = td._replace(
+            pixels=jnp.concatenate([td.pixels, td.pixels * 0.5,
+                                    td.pixels * 2.0]),
+            jacobians=jnp.concatenate([td.jacobians, td.jacobians * 0.5,
+                                       td.jacobians * 2.0]))
+        opts = gn.GNOptions(function_tolerance=1e-4, parameter_tolerance=1e-6,
+                            max_iterations=42)
+        assert lk._variant(I1.shape[0], I1.shape[1], 3, 4096) == "banded"
+        st = gn.run(td3, ch3, cam, jnp.eye(4), opts)
+        run = lk.make_level_gn(I1.shape[0], I1.shape[1], 3, 4096, opts,
+                               interpret=INTERPRET)
+        Tk, stats, _H, _g, _w, bo = jax.jit(run)(
+            cam, td3.points, td3.valid, td3.pixels, td3.jacobians, ch3,
+            jnp.eye(4, dtype=jnp.float32), jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(1e10, jnp.float32), td3.norm_scale, td3.norm_center)
+        np.testing.assert_allclose(np.asarray(Tk), np.asarray(st.T),
+                                   atol=5e-4)
+        err = np.asarray(se3.log(jnp.asarray(
+            np.asarray(Tk) @ np.linalg.inv(T_true), jnp.float32)))
+        assert np.abs(err).max() < 5e-3, err
+        assert int(bo) == 0, int(bo)
