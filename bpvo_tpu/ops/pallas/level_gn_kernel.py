@@ -525,21 +525,34 @@ MAX_IMG_BYTES = 6 * 1024 * 1024
 # 326.2 Hz; its post-mortem prescribed banded sampling inside the level
 # loop, which is what ships now.)
 MAX_POINTS = 2048
-MAX_POINTS_BANDED = 4096
+MAX_POINTS_BANDED = 16384
 _SMALL_SAMPLING_BYTES = 6 * 1024 * 1024
 
 
-def _variant(rows: int, cols: int, C: int, K: int):
-    """Which kernel variant covers this shape: "small" | "banded" | None."""
+def _variant(rows: int, cols: int, C: int, K: int, bf16_img: bool = False):
+    """Which kernel variant covers this shape: "small" | "banded" | None.
+
+    ``bf16_img`` halves the VMEM-resident image cost — legal only for
+    unit-scale (census) channel stacks per the measured bf16 policy
+    (GNOptions.fused_bf16), which is how the C=8 L0 level (a 15.4 MB f32
+    image) fits the budget."""
     Hp = _round_up(rows, 8)
     Wp = _round_up(cols, 128)
     Kp = _round_up(K, 128)
-    if C * Hp * Wp * 4 > MAX_IMG_BYTES:
+    img_bytes = C * Hp * Wp * (2 if bf16_img else 4)
+    if img_bytes > MAX_IMG_BYTES:
         return None
-    if K <= MAX_POINTS and (Wp + C * Hp) * Kp * 4 <= _SMALL_SAMPLING_BYTES:
+    if K <= MAX_POINTS and (Wp + C * Hp) * Kp * 4 <= _SMALL_SAMPLING_BYTES \
+            and not bf16_img:
         return "small"
     if K <= MAX_POINTS_BANDED and Kp % 512 == 0:
-        return "banded"
+        # total VMEM-resident estimate: image + jp (C,8,Kp f32) + pts +
+        # weights/residual vectors + the (Wp, 512) 2-hot; Mosaic's scoped
+        # stack is 16 MB (21 MB was measured to fail in round 4)
+        est = (img_bytes + C * 8 * Kp * 4 + 8 * Kp * 4
+               + 3 * C * Kp * 4 + Wp * 512 * 4)
+        if est <= 14 * 1024 * 1024:
+            return "banded"
     return None
 
 
@@ -550,10 +563,18 @@ def _band_for(rows: int, n_blocks: int) -> int:
     return min(Hp, _round_up(Hp // n_blocks + 32, 8))
 
 
+def _bf16_img(C: int, opts) -> bool:
+    """bf16 VMEM image storage: only for unit-scale census stacks (the same
+    measured policy as the bf16 column mix, GNOptions.fused_bf16)."""
+    return C > 1 and getattr(opts, "fused_bf16", "0") == "1"
+
+
 def supports(rows: int, cols: int, C: int, K: int, opts) -> bool:
-    """Static eligibility: coarse-level shapes + the option subset the kernel
-    implements (solver/gauss_newton.py consults this)."""
-    return (_variant(rows, cols, C, K) is not None
+    """Static eligibility: level shapes + the option subset the kernel
+    implements (solver/gauss_newton.py consults this).  Since round 5 this
+    includes the FINEST level for shapes inside the banded envelope — the
+    kernel's honest H/g/weights export made that legal."""
+    return (_variant(rows, cols, C, K, _bf16_img(C, opts)) is not None
             and opts.warp == "RigidBody"
             and not opts.verbose
             and opts.interp in (InterpolationType.LINEAR,
@@ -580,7 +601,8 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
     Hp = _round_up(rows, 8)
     Wp = _round_up(cols, 128)
     Kp = _round_up(K, 128)
-    variant = _variant(rows, cols, C, K)
+    bf16_img = _bf16_img(C, opts)
+    variant = _variant(rows, cols, C, K, bf16_img)
     assert variant is not None, (rows, cols, C, K)
     banded = variant == "banded"
     n_blocks = Kp // 512 if banded else 1
@@ -595,10 +617,8 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
         gradient_tolerance=opts.gradient_tolerance,
         scale_tolerance=opts.scale_tolerance,
         scale_tolerance_rel=opts.scale_tolerance_rel)
-    kern = (partial(_kernel_banded, band=band,
-                    bf16_mix=(getattr(opts, "fused_bf16", "0") == "1"
-                              and C > 1), **static) if banded
-            else partial(_kernel, **static))
+    kern = (partial(_kernel_banded, band=band, bf16_mix=bf16_img, **static)
+            if banded else partial(_kernel, **static))
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # scal (16,)
@@ -648,7 +668,8 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
         px = jnp.pad(pixels.astype(jnp.float32), ((0, 0), (0, Kp - K)))
         jp = jnp.concatenate([J, px[:, None, :],
                               jnp.zeros((C, 1, Kp), jnp.float32)], axis=1)
-        img = jnp.pad(channels.astype(jnp.float32),
+        img = jnp.pad(channels.astype(jnp.bfloat16 if bf16_img
+                                      else jnp.float32),
                       ((0, 0), (0, Hp - rows), (0, Wp - cols)))
         scal = jnp.stack([
             jnp.asarray(cam.fx, jnp.float32), jnp.asarray(cam.fy, jnp.float32),

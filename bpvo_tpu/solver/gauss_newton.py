@@ -531,6 +531,20 @@ def level_kernel_supported(opts: GNOptions, C: int, rows: int, cols: int,
             and lk.supports(rows, cols, C, K, opts))
 
 
+def fine_level_kernel_enabled() -> bool:
+    """Whole-level kernel at the FINEST level (BPVO_L0_KERNEL: "auto" = on
+    wherever the coarse kernel is on, "0" = off).  Round 4 barred the finest
+    level because run_level_fused returned sentinel weights/H that Result /
+    fraction-of-good-points consume; the round-5 honest export removed the
+    blocker, and the banded envelope covers the K=16384 L0 (intensity: f32
+    image 1.9 MB VMEM; the C=8 census L0 image only fits as bf16 and its
+    jp does not, so BitPlanes L0 stays on the XLA route — see
+    level_gn_kernel._variant)."""
+    if os.environ.get("BPVO_L0_KERNEL", "auto") == "0":
+        return False
+    return level_kernel_enabled()
+
+
 def run_level_fused(tdata, channels, cam, T_init, opts: GNOptions) -> GNState:
     """One-kernel coarse-level GN (ops/pallas/level_gn_kernel.py): the entire
     IRLS loop — sampling, sigma, weights, normal equations, 6x6 solve, exp

@@ -139,11 +139,14 @@ def _estimate(templates, channels_pyr, cams, T_init, opts_per_level,
                if linearize_factory is not None else None)
         opts_l = opts_per_level[level]
         ch_l = channels_pyr[level]
-        # coarse levels: the one-kernel GN loop (see pose_estimator.py) —
-        # never under a custom (sharded) linearization, whose psums must run
-        # in XLA
+        # the one-kernel GN loop (see pose_estimator.py) — never under a
+        # custom (sharded) linearization, whose psums must run in XLA.
+        # Since round 5 the FINEST level is eligible too (honest H/g/weights
+        # export; BPVO_L0_KERNEL=0 restores the XLA fine loop)
         if (lin is None and solver == "GaussNewton"
-                and level > max_test_level and gn.level_kernel_enabled()
+                and (level > max_test_level
+                     or gn.fine_level_kernel_enabled())
+                and gn.level_kernel_enabled()
                 and gn.level_kernel_supported(
                     opts_l, ch_l.shape[0], ch_l.shape[1], ch_l.shape[2],
                     templates[level].pixels.shape[1])):

@@ -144,12 +144,16 @@ def _estimate_all(templates: Tuple[TemplateData, ...],
         opts_l = opts_per_level[level]
         ch_l = channels[level]
         K_l = templates[level].pixels.shape[1]
-        # coarse levels go through the one-kernel GN (the whole IRLS loop in
-        # a single Pallas invocation — kills the ~0.3 ms/level scalar-chain
-        # overhead, docs/PERFORMANCE.md round 4); the finest level keeps the
-        # XLA loop (its weights/H feed Result, and its point count exceeds
-        # the kernel's VMEM-resident envelope)
-        if (solver == "GaussNewton" and level > max_test_level
+        # the one-kernel GN (the whole IRLS loop in a single Pallas
+        # invocation — kills the ~0.3 ms/level scalar-chain overhead,
+        # docs/PERFORMANCE.md round 4).  Round 4 kept the finest level on
+        # the XLA loop because run_level_fused's weights/H were sentinels
+        # that Result consumes; the round-5 honest export lifted that, and
+        # the banded envelope covers the K=16384 L0 (BPVO_L0_KERNEL=0
+        # restores the XLA fine loop)
+        if (solver == "GaussNewton"
+                and (level > max_test_level
+                     or gn.fine_level_kernel_enabled())
                 and gn.level_kernel_enabled()
                 and gn.level_kernel_supported(opts_l, ch_l.shape[0],
                                               ch_l.shape[1], ch_l.shape[2],

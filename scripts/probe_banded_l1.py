@@ -45,7 +45,7 @@ def loop_time(make_body, n=20, reps=5, warmup=2):
     return (time.perf_counter() - t0) / reps / n * 1e3
 
 
-def probe(desc_name: str):
+def probe(desc_name: str, level: int = 1):
     desc = (DescriptorType.BITPLANES if desc_name == "bitplanes"
             else DescriptorType.INTENSITY)
     # L1 of the KITTI bench: 188x621, K=4096
@@ -53,25 +53,29 @@ def probe(desc_name: str):
     p = AlgorithmParameters(minSaliency=2.0, numPyramidLevels=4,
                             descriptor=desc, functionTolerance=1e-4,
                             parameterTolerance=1e-6, maxIterations=50)
-    cam = warp_mod.CameraModel.from_K(K, baseline).at_level(1)
+    cam = warp_mod.CameraModel.from_K(K, baseline).at_level(level)
     I0 = jnp.asarray(frames[0][0], jnp.float32)
     I1 = jnp.asarray(frames[1][0], jnp.float32)
     D = jnp.asarray(frames[0][1], jnp.float32)
-    I0l = imgproc.pyr_down(I0)
-    I1l = imgproc.pyr_down(I1)
+    I0l, I1l = I0, I1
+    for _ in range(level):
+        I0l = imgproc.pyr_down(I0l)
+        I1l = imgproc.pyr_down(I1l)
     ch0 = descriptors.compute(I0l, p)
     ch1 = jax.device_put(descriptors.compute(I1l, p))
-    dl = imgproc.disparity_at_level(D, 1)[:ch0.shape[1], :ch0.shape[2]]
-    td = td_mod.set_data(ch0, dl, cam, p, 4096, 1)
+    dl = imgproc.disparity_at_level(D, level)[:ch0.shape[1], :ch0.shape[2]]
+    cap = 16384 >> (2 * level)
+    td = td_mod.set_data(ch0, dl, cam, p, cap, level)
     td = jax.tree.map(jax.device_put, td)
     C, rows, cols = ch1.shape
-    opts = gn.GNOptions.from_params(p, coarse=True)
-    assert lk._variant(rows, cols, C, 4096) == "banded", (rows, cols, C)
-    print(f"[{desc_name}] L1 {rows}x{cols} C={C} K=4096 "
-          f"band={lk._band_for(rows, 4096 // 512)}")
+    opts = gn.GNOptions.from_params(p, coarse=(level > 0))
+    assert lk._variant(rows, cols, C, cap,
+                       lk._bf16_img(C, opts)) == "banded", (rows, cols, C)
+    print(f"[{desc_name}] L{level} {rows}x{cols} C={C} K={cap} "
+          f"band={lk._band_for(rows, max(cap // 512, 1))}")
 
     T0 = jnp.eye(4, dtype=jnp.float32)
-    runner = lk.make_level_gn(rows, cols, C, 4096, opts,
+    runner = lk.make_level_gn(rows, cols, C, cap, opts,
                               interpret=jax.default_backend() == "cpu")
     t0 = time.perf_counter()
     Tk, stats, H6, g6, w, bo = jax.jit(runner)(
@@ -114,11 +118,12 @@ def probe(desc_name: str):
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    level = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     out = []
     if which in ("bitplanes", "both"):
-        out.append(probe("bitplanes"))
+        out.append(probe("bitplanes", level))
     if which in ("intensity", "both"):
-        out.append(probe("intensity"))
+        out.append(probe("intensity", level))
     import json
     print(json.dumps(out))
 
