@@ -308,15 +308,20 @@ def write_markdown(rows, md_path, n_frames):
             "## Degenerate-cell diagnosis",
             "",
             "**plane x BitPlanes** — `plane` uses the historical "
-            "globally-periodic sinusoid texture (7-13 px periods).  A direct "
-            "tracker on such texture has false photometric minima one period "
-            "apart, and the census transform quantizes it into even more "
-            "self-similar bit-planes — BOTH frameworks alias-lock and produce "
-            "~1 m ATE there (docs/PERFORMANCE.md round 3 has the full "
-            "mechanism).  The `plane_noise` row is the controlled experiment: "
-            "same geometry, same motion, non-periodic texture — both "
-            "frameworks are healthy, confirming the texture (not the solvers) "
-            "is the degeneracy.",
+            "globally-periodic sinusoid texture (7-13 px periods), and the "
+            "census transform quantizes it into even more self-similar "
+            "bit-planes: BOTH frameworks degrade to ~1 m ATE.  The "
+            "`plane_noise` row is the controlled experiment: same geometry, "
+            "same motion, non-periodic texture — both frameworks are "
+            "healthy, confirming the texture (not the solvers) is the "
+            "degeneracy.  Round-5 error-structure analysis REFINED the "
+            "mechanism: the per-frame errors carry NO period-scale jumps "
+            "(max 36 mm << the 230 mm period) and a deliberately "
+            "alias-shifted init is recovered by the coarse pyramid — the "
+            "failure is continuous census-quantization drift, NOT an alias "
+            "lock, which is why the alias-recovery multi-start "
+            "(coarseInitOffsetPx, implemented round 5) measures no benefit "
+            "on this cell (config.py has the full negative result).",
             "",
             "**corridor x BitPlanes** — the reference degrades (~0.29 m, 100 "
             "keyframes) on the corridor's repeating per-wall sinusoid "
