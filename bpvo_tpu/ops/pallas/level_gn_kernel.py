@@ -127,9 +127,13 @@ def _exp_combined(dp, s_n, c0, c1, c2):
 
 
 def _kernel_banded(scal_ref, T0_ref, bases_ref, pts_ref, jp_ref, img_ref,
-                   outT_ref, stats_ref, h8_ref, w_ref, bo_ref, **kw):
+                   outT_ref, stats_ref, h8_ref, w_ref, bo_ref,
+                   *scratch, **kw):
     """Banded-sampling variant: extra inputs/outputs, same body (see
-    _kernel's ``bases_ref`` docs)."""
+    _kernel's ``bases_ref`` docs).  The "hbm" sub-variant passes two VMEM
+    slab buffers + DMA semaphores as scratch."""
+    if scratch:
+        kw = dict(kw, slabs_ref=scratch[0], dma_sem=scratch[1])
     _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
             outT_ref, stats_ref, h8_ref, w_ref,
             bases_ref=bases_ref, bo_ref=bo_ref, **kw)
@@ -142,7 +146,7 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
             parameter_tolerance: float, gradient_tolerance: float,
             scale_tolerance: float, scale_tolerance_rel: float,
             bases_ref=None, bo_ref=None, band: int = 0,
-            bf16_mix: bool = False):
+            bf16_mix: bool = False, slabs_ref=None, dma_sem=None):
     Hp = img_ref.shape[1]
     Wp = img_ref.shape[2]
     Kp = pts_ref.shape[1]
@@ -246,9 +250,25 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
                 return jnp.sum(jnp.where(rows_iota == b, a, 0.0), axis=0,
                                keepdims=True)              # (1, ck)
 
+            hbm = slabs_ref is not None
+
+            def band_copy(b, slot):
+                # whole-(C, band, Wp) strided DMA from the HBM-resident
+                # image; bases are fixed by the initial pose so the
+                # descriptor is identical between start() and wait()
+                return pltpu.make_async_copy(
+                    img_ref.at[:, pl.ds(bases_ref[b] * 8, band), :],
+                    slabs_ref.at[slot], dma_sem.at[slot])
+
+            if hbm:
+                band_copy(0, 0).start()
             I1_chunks = [[] for _ in range(C)]
             band_ok_chunks = []
             for b in range(n_blocks):
+                if hbm:
+                    if b + 1 < n_blocks:
+                        band_copy(b + 1, (b + 1) % 2).start()
+                    band_copy(b, b % 2).wait()
                 xq = take_row(xii2, b).astype(jnp.int32)
                 fq = take_row(xf2, b)
                 yq = take_row(yii2, b).astype(jnp.int32)
@@ -269,7 +289,8 @@ def _kernel(scal_ref, T0_ref, pts_ref, jp_ref, img_ref,
                 if bf16_mix:
                     onehot = onehot.astype(jnp.bfloat16)
                 for c in range(C):
-                    img_band = img_ref[c, pl.ds(base, band), :]
+                    img_band = (slabs_ref[b % 2, c] if hbm
+                                else img_ref[c, pl.ds(base, band), :])
                     if bf16_mix:
                         # DEFAULT precision: the package-global f32 matmul
                         # precision would ask Mosaic for an fp32-contract
@@ -539,20 +560,30 @@ def _variant(rows: int, cols: int, C: int, K: int, bf16_img: bool = False):
     Hp = _round_up(rows, 8)
     Wp = _round_up(cols, 128)
     Kp = _round_up(K, 128)
-    img_bytes = C * Hp * Wp * (2 if bf16_img else 4)
-    if img_bytes > MAX_IMG_BYTES:
-        return None
-    if K <= MAX_POINTS and (Wp + C * Hp) * Kp * 4 <= _SMALL_SAMPLING_BYTES \
-            and not bf16_img:
+    # the validated single-pass program always wins where it fits (it
+    # stores the image f32 regardless of the bf16 policy)
+    if (C * Hp * Wp * 4 <= MAX_IMG_BYTES and K <= MAX_POINTS
+            and (Wp + C * Hp) * Kp * 4 <= _SMALL_SAMPLING_BYTES):
         return "small"
+    img_bytes = C * Hp * Wp * (2 if bf16_img else 4)
     if K <= MAX_POINTS_BANDED and Kp % 512 == 0:
         # total VMEM-resident estimate: image + jp (C,8,Kp f32) + pts +
         # weights/residual vectors + the (Wp, 512) 2-hot; Mosaic's scoped
         # stack is 16 MB (21 MB was measured to fail in round 4)
-        est = (img_bytes + C * 8 * Kp * 4 + 8 * Kp * 4
-               + 3 * C * Kp * 4 + Wp * 512 * 4)
-        if est <= 14 * 1024 * 1024:
+        base_est = (C * 8 * Kp * 4 + 8 * Kp * 4
+                    + 3 * C * Kp * 4 + Wp * 512 * 4)
+        if img_bytes + base_est <= 14 * 1024 * 1024:
             return "banded"
+        # image too big to live in VMEM whole (the C=8 census L0): keep it
+        # in HBM and double-buffer (C, band, Wp) row slabs per point block
+        # — the bands are fixed by the initial pose, so each iteration
+        # re-streams ~C*band*Wp*NB bytes (tens of MB at KITTI L0, ~40 us
+        # of HBM bandwidth) while the MXU works the previous slab
+        if bf16_img:
+            n_blocks = Kp // 512
+            slab = C * _band_for(rows, n_blocks) * Wp * 2
+            if base_est + 2 * slab <= 14 * 1024 * 1024:
+                return "hbm"
     return None
 
 
@@ -604,7 +635,10 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
     bf16_img = _bf16_img(C, opts)
     variant = _variant(rows, cols, C, K, bf16_img)
     assert variant is not None, (rows, cols, C, K)
-    banded = variant == "banded"
+    banded = variant in ("banded", "hbm")
+    hbm = variant == "hbm"
+    # the small program always stores the image f32 (kept byte-identical)
+    bf16_img = bf16_img and banded
     n_blocks = Kp // 512 if banded else 1
     band = _band_for(rows, n_blocks) if banded else 0
 
@@ -629,7 +663,9 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
     in_specs += [
         pl.BlockSpec(memory_space=pltpu.VMEM),   # pts (8, Kp)
         pl.BlockSpec(memory_space=pltpu.VMEM),   # jp (C, 8, Kp)
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # img (C, Hp, Wp)
+        # image: VMEM-resident, or HBM with per-block slab DMA when it
+        # exceeds the VMEM envelope (the C=8 census L0)
+        pl.BlockSpec(memory_space=pltpu.ANY if hbm else pltpu.VMEM),
     ]
     out_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # T out (16,)
@@ -646,12 +682,19 @@ def make_level_gn(rows: int, cols: int, C: int, K: int, opts,
     if banded:
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # overflow
         out_shape.append(jax.ShapeDtypeStruct((1,), jnp.float32))
+    scratch_shapes = []
+    if hbm:
+        scratch_shapes = [
+            pltpu.VMEM((2, C, band, Wp), jnp.bfloat16),  # slab double-buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
 
     call = pl.pallas_call(
         kern,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )
 

@@ -69,10 +69,10 @@ def probe(desc_name: str, level: int = 1):
     td = jax.tree.map(jax.device_put, td)
     C, rows, cols = ch1.shape
     opts = gn.GNOptions.from_params(p, coarse=(level > 0))
-    assert lk._variant(rows, cols, C, cap,
-                       lk._bf16_img(C, opts)) == "banded", (rows, cols, C)
+    variant = lk._variant(rows, cols, C, cap, lk._bf16_img(C, opts))
+    assert variant in ("banded", "hbm"), (rows, cols, C, variant)
     print(f"[{desc_name}] L{level} {rows}x{cols} C={C} K={cap} "
-          f"band={lk._band_for(rows, max(cap // 512, 1))}")
+          f"band={lk._band_for(rows, max(cap // 512, 1))} variant={variant}")
 
     T0 = jnp.eye(4, dtype=jnp.float32)
     runner = lk.make_level_gn(rows, cols, C, cap, opts,
