@@ -259,12 +259,22 @@ def _aggregate_4dir_scan(cost, p1: float, p2: float):
 
 
 def _wta_subpixel(a, D: int):
-    """Winner-take-all over the disparity axis + parabolic sub-pixel."""
+    """Winner-take-all over the disparity axis + parabolic sub-pixel.
+
+    The neighbor costs c(best-1), c(best), c(best+1) are extracted with
+    compare-select reductions instead of ``take_along_axis``: on v5e the
+    three (H, W, D) gathers measured 21-27 ms at KITTI/D=128 (the LARGEST
+    single SGM stage, scripts/profile_sgm.py round 5) while masked-sum
+    passes are plain VPU streams."""
     import jax.numpy as jnp
     best = jnp.argmin(a, axis=-1)
     bm1 = jnp.clip(best - 1, 0, D - 1)
     bp1 = jnp.clip(best + 1, 0, D - 1)
-    take = lambda idx: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+    didx = jnp.arange(D, dtype=best.dtype)
+
+    def take(idx):
+        return jnp.sum(jnp.where(didx == idx[..., None], a, 0.0), axis=-1)
+
     c0, c1, c2 = take(bm1), take(best), take(bp1)
     denom = c0 - 2.0 * c1 + c2
     delta = jnp.where(jnp.abs(denom) > 1e-6,

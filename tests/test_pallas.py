@@ -548,6 +548,49 @@ class TestLevelGnKernel:
         # gentle motion: the static band margin must absorb every update
         assert int(bo) == 0, int(bo)
 
+    def test_banded_overflow_counted_and_graceful(self):
+        """When the solve walks the projections beyond their block's row
+        band (bands are fixed from the INITIAL pose), out-of-band points
+        must be dropped AND counted — never silently corrupted — and the
+        pose must still converge using the surviving points (the same
+        graceful-degradation contract as the stacked linearize kernel)."""
+        from test_gn import build_template, render_pair
+        from bpvo_tpu.ops.pallas import level_gn_kernel as lk
+        from bpvo_tpu.solver import gauss_newton as gn
+
+        twist = [0.001, -0.002, 0.001, 0.01, -0.005, 0.015]
+        I0, I1, D, cam, T_true = render_pair(twist)
+        td, p = build_template(I0, D, cam, capacity=4096)
+        opts = gn.GNOptions(function_tolerance=1e-4, parameter_tolerance=1e-6,
+                            max_iterations=42)
+        # start 12 image rows away in y — just past the band margin (band
+        # 48 vs block span ~15 rows), still inside the photometric basin:
+        # the walk pushes a measurable set of points out of their bands
+        # (swept: 10 rows -> 0 dropped, 12 -> ~79, 20 -> ~894 with the
+        # basin itself gone for BOTH routes)
+        dy_rows = 12.0
+        ty = dy_rows * 8.0 / float(cam.fy)  # Z ~ 8 on the plane scene
+        T0 = jnp.eye(4, dtype=jnp.float32).at[1, 3].set(ty)
+        run = lk.make_level_gn(I1.shape[0], I1.shape[1], 1, 4096, opts,
+                               interpret=INTERPRET)
+        Tk, stats, _H, _g, _w, bo = jax.jit(run)(
+            cam, td.points, td.valid, td.pixels, td.jacobians,
+            jnp.asarray(I1)[None], T0,
+            jnp.asarray(1.0, jnp.float32), jnp.asarray(1e10, jnp.float32),
+            td.norm_scale, td.norm_center)
+        assert np.all(np.isfinite(np.asarray(Tk)))
+        assert int(bo) > 0, "walking past the band margin must be counted"
+        # the surviving in-band points must still carry the solve to the
+        # same optimum as the unbanded XLA route (measured: both at 4e-4
+        # twist error vs ground truth despite the dropped points)
+        st = gn.run(td, jnp.asarray(I1)[None], cam, T0, opts)
+        np.testing.assert_allclose(np.asarray(Tk), np.asarray(st.T),
+                                   atol=5e-3)
+        from bpvo_tpu.core import se3
+        err = np.abs(np.asarray(se3.log(jnp.asarray(
+            np.asarray(Tk) @ np.linalg.inv(T_true), jnp.float32)))).max()
+        assert err < 2e-3, err
+
     def test_banded_multichannel_k4096(self):
         """Banded path at the BitPlanes-L1-class multi-channel shape
         (C>1, K=4096 — the production instance the round-5 banded kernel
